@@ -1,0 +1,103 @@
+"""PointNet++ set-abstraction / feature-propagation modules, padded-batch form.
+
+Re-design of the reference's SAModule / GlobalSAModule / FPModule
+(models/basic_modules.py:66-138) which rely on torch-cluster fps/radius CUDA
+kernels and PyG PointConv.  Here: fps is a fixed-K scan, radius grouping is a
+tiled distance matmul + top-k, and PointConv is a dense (B, K, M, C) MLP +
+masked max — all static shapes, vmapped over the batch.
+
+Each SA stage takes a *static* output size `num_out` (the reference uses
+ratios over a fixed P=1024 cloud, so K is static anyway: 512/128/32).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from morig_tpu.kernels import neighbors as nbk
+from morig_tpu.nn.mlp import MLP
+
+
+class SAModule(nn.Module):
+    """Set abstraction: FPS downsample + radius neighborhood + PointConv.
+
+    Reference: models/basic_modules.py:66-86.  PointConv message is
+    MLP([x_j, pos_j - pos_i]) (or just relative pos when x is None), with max
+    aggregation — PyG PointNetConv semantics used by the reference.
+    """
+
+    num_out: int
+    radius: float
+    mlp_channels: Sequence[int]
+    max_neighbors: int = 64
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pos, mask, train: bool = False, start=None):
+        B = pos.shape[0]
+        if start is None:
+            start = jnp.zeros((B,), jnp.int32)
+        idx = jax.vmap(lambda p, m, s: nbk.fps(p, self.num_out, m, s))(pos, mask, start)
+        new_pos = jnp.take_along_axis(pos, idx[..., None], axis=1)          # (B,K,3)
+        new_mask = jnp.take_along_axis(mask, idx, axis=1)
+
+        grp_idx, grp_valid = jax.vmap(
+            lambda c, p, m: nbk.radius_group(c, p, self.radius, self.max_neighbors, m)
+        )(new_pos, pos, mask)                                               # (B,K,M)
+
+        p_j = jax.vmap(lambda p, g: p[g])(pos, grp_idx)                     # (B,K,M,3)
+        rel = p_j - new_pos[:, :, None, :]
+        if x is None:
+            feat_in = rel
+        else:
+            x_j = jax.vmap(lambda f, g: f[g])(x, grp_idx)                   # (B,K,M,C)
+            feat_in = jnp.concatenate([x_j, rel], axis=-1)
+        grp_valid = grp_valid & new_mask[:, :, None]
+        msg = MLP(self.mlp_channels, axis_name=self.axis_name, name="conv")(
+            feat_in, grp_valid, train
+        )
+        new_x = nbk.masked_max(msg, grp_valid, axis=2)                      # (B,K,C')
+        return new_x, new_pos, new_mask
+
+
+class GlobalSAModule(nn.Module):
+    """Global max-pool abstraction (models/basic_modules.py:115-125)."""
+
+    mlp_channels: Sequence[int]
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pos, mask, train: bool = False):
+        feat = MLP(self.mlp_channels, axis_name=self.axis_name, name="nn")(
+            jnp.concatenate([x, pos], axis=-1), mask, train
+        )
+        return nbk.masked_max(feat, mask, axis=1)                           # (B,C)
+
+
+class FPModule(nn.Module):
+    """Feature propagation: kNN-interpolate up + skip concat + MLP.
+
+    Reference: models/basic_modules.py:127-138.
+    """
+
+    k: int
+    mlp_channels: Sequence[int]
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pos, mask, x_skip, pos_skip, mask_skip, train: bool = False):
+        if x.ndim == 2:  # global feature (B, C): broadcast to every target
+            up = jnp.broadcast_to(x[:, None, :], (x.shape[0], pos_skip.shape[1], x.shape[-1]))
+        else:
+            up = jax.vmap(
+                lambda f, ps, pt, m: nbk.knn_interpolate(f, ps, pt, self.k, m)
+            )(x, pos, pos_skip, mask)
+        if x_skip is not None:
+            up = jnp.concatenate([up, x_skip], axis=-1)
+        out = MLP(self.mlp_channels, axis_name=self.axis_name, name="nn")(
+            up, mask_skip, train
+        )
+        return out, pos_skip, mask_skip
