@@ -54,7 +54,12 @@ def knn(
         sim = -pairwise_sqdist(query, cand)
     if cand_mask is not None:
         sim = jnp.where(cand_mask[None, :], sim, NEG)
-    score, idx = jax.lax.top_k(sim, k)
+    k_eff = min(k, cand.shape[0])
+    score, idx = jax.lax.top_k(sim, k_eff)
+    if k_eff < k:  # tiny candidate sets: repeat the last column
+        pad = k - k_eff
+        idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], pad, axis=1)], axis=1)
+        score = jnp.concatenate([score, jnp.full((score.shape[0], pad), NEG, score.dtype)], axis=1)
     return idx.astype(jnp.int32), score
 
 
@@ -77,7 +82,7 @@ def radius_group(
     if points_mask is not None:
         in_r = in_r & points_mask[None, :]
     score = jnp.where(in_r, -d2, NEG)
-    top_score, idx = jax.lax.top_k(score, max_neighbors)
+    top_score, idx = jax.lax.top_k(score, min(max_neighbors, points.shape[0]))
     valid = top_score > NEG / 2
     return idx.astype(jnp.int32), valid
 
