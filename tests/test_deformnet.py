@@ -1,0 +1,68 @@
+"""M2 tests: DeformNet forward, frozen extractor, flow learning, init transfer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morig_tpu.data.pose import capsule_pose_dataset
+from morig_tpu.train.stages import CorrPoseStage, DeformPoseStage
+
+
+def small_dataset():
+    return capsule_pose_dataset(num_models=2, num_frames=6, num_points=128, n_lat=9, n_lon=8)
+
+
+def test_deformnet_forward_and_finite():
+    ds = small_dataset()
+    batch = ds.batch([0, 1], 0, 3)
+    stage = DeformPoseStage()
+    state = stage.init_state(jax.random.key(0), batch)
+    pred_flow, vtx_f, pts_f, vis, tau = stage.infer(state, batch)
+    B, V = batch.mesh.vert_mask.shape
+    assert pred_flow.shape == (B, V, 3)
+    assert vis.shape == (B, V)
+    assert np.isfinite(np.asarray(pred_flow)).all()
+    v = np.asarray(vis)
+    assert (v >= 0).all() and (v <= 1 + 1e-6).all()
+
+
+def test_deformnet_frozen_extractor_and_learning():
+    ds = small_dataset()
+    batch = ds.batch([0, 1], 0, 2)
+    stage = DeformPoseStage()
+    state = stage.init_state(jax.random.key(0), batch)
+    corr_before = jax.tree_util.tree_map(np.asarray, state.params["corr_extractor"])
+    rng = jax.random.key(7)
+    first = None
+    for _ in range(6):
+        rng, sub = jax.random.split(rng)
+        state, metrics = stage.train_step(state, batch, sub)
+        if first is None:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(last) and last < first
+    # extractor params untouched (train_deform_pose.py freezes them)
+    corr_after = state.params["corr_extractor"]
+    flat_b = jax.tree_util.tree_leaves(corr_before)
+    flat_a = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, corr_after))
+    for b, a in zip(flat_b, flat_a):
+        np.testing.assert_array_equal(b, a)
+    # completing params did change
+    comp = state.params["completing"]
+    leaf = np.asarray(jax.tree_util.tree_leaves(comp)[0])
+    assert np.isfinite(leaf).all()
+
+
+def test_init_extractor_transfer():
+    ds = small_dataset()
+    batch = ds.batch([0, 1], 0, 3)
+    corr_stage = CorrPoseStage()
+    corr_state = corr_stage.init_state(jax.random.key(3), batch)
+    deform_stage = DeformPoseStage()
+    d_state = deform_stage.init_state(jax.random.key(4), batch)
+    d_state2 = deform_stage.init_extractor_from(d_state, corr_state.params, corr_state.batch_stats)
+    # extractor now equals the corr-stage params
+    a = jax.tree_util.tree_leaves(d_state2.params["corr_extractor"])
+    b = jax.tree_util.tree_leaves(corr_state.params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
