@@ -121,6 +121,29 @@ class RigSample:
     loss_mask: jax.Array        # (B, V, K) bone-slot validity
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SkelSample:
+    """One sample for skeleton-connectivity training (BoneNet/RootNet).
+
+    Mirrors the ad-hoc Data assembled in evaluate/joint2rig.py:232-264, padded:
+      joints:     (B, J, 3), joints_mask (B, J)
+      pairs:      (B, P, 2) int candidate joint pairs, pair_mask (B, P)
+      pair_attr:  (B, P, 2)  [distance, inside-volume proportion]
+      pair_label: (B, P)     GT adjacency
+      root_idx:   (B,)       GT root joint index
+    """
+
+    mesh: MeshBatch
+    joints: jax.Array
+    joints_mask: jax.Array
+    pairs: jax.Array
+    pair_mask: jax.Array
+    pair_attr: jax.Array
+    pair_label: jax.Array
+    root_idx: jax.Array
+
+
 # ---------------------------------------------------------------------------
 # Host-side builders (numpy)
 # ---------------------------------------------------------------------------

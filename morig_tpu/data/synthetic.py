@@ -31,36 +31,41 @@ class CapsuleRig:
 
 
 def uv_capsule(n_lat: int = 17, n_lon: int = 16, radius: float = 0.12, height: float = 0.55):
-    """UV-sphere stretched along +y into a capsule of total height 2r + h."""
-    verts = []
-    # poles
-    verts.append([0.0, -radius, 0.0])
-    for i in range(1, n_lat):
-        theta = np.pi * i / n_lat - np.pi / 2  # (-pi/2, pi/2)
-        y = radius * np.sin(theta)
-        r = radius * np.cos(theta)
-        shift = height if y > 1e-9 else 0.0
+    """Capsule along +y: bottom hemisphere, cylindrical barrel, top hemisphere,
+    with rings spaced by arc length so the barrel has real vertices."""
+    cap_arc = 0.5 * np.pi * radius
+    total = 2 * cap_arc + height
+    n_rings = max(n_lat - 1, 3)
+    s = np.arange(1, n_rings + 1) / (n_rings + 1) * total
+
+    verts = [[0.0, -radius, 0.0]]
+    for si in s:
+        if si < cap_arc:                       # bottom hemisphere
+            th = -np.pi / 2 + si / radius
+            y, rr = radius * np.sin(th), radius * np.cos(th)
+        elif si < cap_arc + height:            # barrel
+            y, rr = si - cap_arc, radius
+        else:                                  # top hemisphere
+            th = (si - cap_arc - height) / radius
+            y, rr = height + radius * np.sin(th), radius * np.cos(th)
         for j in range(n_lon):
             phi = 2 * np.pi * j / n_lon
-            verts.append([r * np.cos(phi), y + shift, r * np.sin(phi)])
+            verts.append([rr * np.cos(phi), y, rr * np.sin(phi)])
     verts.append([0.0, radius + height, 0.0])
     verts = np.asarray(verts, dtype=np.float32)
 
     faces = []
     top = len(verts) - 1
-    ring = lambda i, j: 1 + (i - 1) * n_lon + (j % n_lon)
+    ring = lambda i, j: 1 + i * n_lon + (j % n_lon)
     for j in range(n_lon):
-        faces.append([0, ring(1, j + 1), ring(1, j)])
-        faces.append([top, ring(n_lat - 1, j), ring(n_lat - 1, j + 1)])
-    for i in range(1, n_lat - 1):
+        faces.append([0, ring(0, j + 1), ring(0, j)])
+        faces.append([top, ring(n_rings - 1, j), ring(n_rings - 1, j + 1)])
+    for i in range(n_rings - 1):
         for j in range(n_lon):
             a, b = ring(i, j), ring(i, j + 1)
             c, d = ring(i + 1, j), ring(i + 1, j + 1)
             faces.append([a, b, d])
             faces.append([a, d, c])
-    # duplicate the equator band: insert cylinder rings between the two
-    # hemispheres by splitting at y≈0/height boundary — the stretch already
-    # creates the side wall through existing quads, good enough for a fixture.
     return verts, np.asarray(faces, dtype=np.int32)
 
 

@@ -1,0 +1,170 @@
+"""Joint-extraction clustering: bandwidth estimation, weighted mean-shift,
+density NMS, and mirror symmetrization.
+
+Replaces utils/cluster_utils.py:14-63, the torch duplicate in
+training/train_rig.py:43-60, sklearn's estimate_bandwidth call
+(eval_rigging.py:89), and flip (utils/mst_utils.py:294-313).
+
+TPU design: mean-shift is the O(N²)-per-iteration hot loop — it runs on device
+as a fixed-iteration `fori_loop` of (N,N) matmuls with attention weights and a
+validity mask (invalid points neither attract nor count).  Bandwidth
+estimation is one top-k reduction.  NMS mode extraction is a tiny greedy
+sequential pass and stays on host.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morig_tpu.kernels.neighbors import pairwise_sqdist
+
+
+@partial(jax.jit, static_argnames=("quantile",))
+def estimate_bandwidth(pts: jax.Array, mask: jax.Array | None = None,
+                       quantile: float = 0.04) -> jax.Array:
+    """sklearn-compatible quantile bandwidth: mean over points of the distance
+    to their ceil(N*q)-th nearest neighbor (self included), computed over
+    valid points only."""
+    n = pts.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    n_valid = jnp.sum(mask)
+    knn = jnp.maximum(1, (n_valid * quantile).astype(jnp.int32))
+    d2 = pairwise_sqdist(pts, pts)
+    d2 = jnp.where(mask[None, :], d2, 1e30)
+    # distance to the knn-th neighbor: sort each row, pick index knn-1
+    d_sorted = jnp.sort(d2, axis=1)
+    kth = jnp.sqrt(jnp.maximum(jnp.take_along_axis(
+        d_sorted, jnp.full((n, 1), knn - 1), axis=1)[:, 0], 0.0))
+    m = mask.astype(kth.dtype)
+    return jnp.sum(kth * m) / jnp.maximum(m.sum(), 1.0)
+
+
+@partial(jax.jit, static_argnames=("num_iter",))
+def meanshift_cluster(
+    pts: jax.Array,                  # (N, 3)
+    bandwidth: jax.Array,
+    weights: jax.Array | None = None,  # (N,) importance (attention)
+    mask: jax.Array | None = None,     # (N,) validity
+    num_iter: int = 30,
+    step: float = 0.3,
+) -> jax.Array:
+    """Weighted flat-kernel mean-shift, fixed iteration count.
+
+    Per iteration: kernel K_ij = relu(b² − ||x_i − x_j||²) * w_i (attractor
+    weight), columns normalized, each point moves `step` of the way toward its
+    kernel-weighted mean — the update rule of cluster_utils.py:24-34 /
+    train_rig.py:50-59 with the convergence check replaced by a fixed count
+    (the reference's own torch variant already does this)."""
+    n = pts.shape[0]
+    w = jnp.ones(n, pts.dtype) if weights is None else weights.reshape(n)
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+
+    def body(_, x):
+        d2 = pairwise_sqdist(x, x)
+        K = jnp.maximum(bandwidth * bandwidth - d2, 0.0) * w[:, None]
+        col = jnp.sum(K, axis=0, keepdims=True)
+        P = (K / (col + 1e-10)).T
+        return x + step * (P @ x - x)
+
+    return jax.lax.fori_loop(0, num_iter, body, pts)
+
+
+def nms_modes(
+    pts: np.ndarray,
+    attn: np.ndarray,
+    bandwidth: float,
+    density_threshold: float = 0.02,
+    attn_threshold: float = 0.7,
+    mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Greedy density-sorted mode extraction after mean-shift
+    (cluster_utils.py:39-63): visit points by descending neighbor count,
+    suppress everything within the bandwidth, keep the visited point as a mode
+    if its neighborhood's max attention or density clears the thresholds."""
+    pts = np.asarray(pts)
+    attn = np.asarray(attn).reshape(-1)
+    if mask is not None:
+        pts = pts[mask]
+        attn = attn[np.asarray(mask)]
+    n = len(pts)
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    d = np.sqrt(np.maximum(((pts[None] - pts[:, None]) ** 2).sum(-1), 0.0))
+    counts = (d <= bandwidth).sum(0)
+    order = np.argsort(counts)[::-1]
+    alive = np.ones(n, bool)
+    keep = np.zeros(n, bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        nbrs = np.where(d[:, i] <= bandwidth)[0]
+        alive[nbrs] = False
+        if attn[nbrs].max() > attn_threshold or len(nbrs) / n > density_threshold:
+            keep[i] = True
+    return pts[keep]
+
+
+def symmetrize_reflect(pts: np.ndarray, attn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Double the point set with its x-mirror before clustering
+    (eval_rigging.py:86-88)."""
+    mirrored = pts * np.array([[-1.0, 1.0, 1.0]], dtype=pts.dtype)
+    return np.concatenate([pts, mirrored], 0), np.concatenate([attn, attn], 0)
+
+
+def flip_joints(joints: np.ndarray, tol: float = 2e-2) -> tuple[np.ndarray, np.ndarray]:
+    """Mirror left-half joints to the right, snap middle joints to the plane
+    (mst_utils.py:294-313).  Returns (joints, side) with side in {-1,0,1}."""
+    joints = np.asarray(joints, dtype=np.float32)
+    left = joints[joints[:, 0] < -tol]
+    middle = joints[np.abs(joints[:, 0]) <= tol].copy()
+    middle[:, 0] = 0.0
+    right = left.copy()
+    right[:, 0] = -right[:, 0]
+    out = np.concatenate([left, middle, right], axis=0)
+    side = np.concatenate([
+        -np.ones(len(left)), np.zeros(len(middle)), np.ones(len(right))
+    ])
+    return out, side
+
+
+def extract_joints(
+    shifted_pts: np.ndarray,
+    attn: np.ndarray,
+    inside_fn=None,
+    bandwidth_quantile: float = 0.04,
+    attn_keep_threshold: float = 0.1,
+    density_threshold: float = 0.02,
+    attn_nms_threshold: float = 0.7,
+    meanshift_iters: int = 30,
+    symmetrize: bool = True,
+) -> np.ndarray:
+    """The full shifted-points→joints procedure of eval_rigging.py:80-95:
+    inside-voxel filter → attention min-max + threshold → reflect-symmetrize →
+    bandwidth estimate → device mean-shift → host NMS → flip."""
+    attn = np.asarray(attn).reshape(-1).astype(np.float64)
+    spread = attn.max() - attn.min()
+    if spread > 1e-10:  # min-max normalize (eval_rigging.py:72); constant attn kept as-is
+        attn = (attn - attn.min()) / spread
+    pts = np.asarray(shifted_pts, np.float32)
+    if inside_fn is not None:
+        ok = inside_fn(pts)
+        pts, attn = pts[ok], attn[ok]
+    sel = attn > attn_keep_threshold
+    pts, attn = pts[sel], attn[sel]
+    if len(pts) == 0:
+        return np.zeros((0, 3), np.float32)
+    if symmetrize:
+        pts, attn = symmetrize_reflect(pts, attn)
+    bw = float(estimate_bandwidth(jnp.asarray(pts), quantile=bandwidth_quantile))
+    moved = np.asarray(meanshift_cluster(
+        jnp.asarray(pts), jnp.asarray(bw), jnp.asarray(attn), num_iter=meanshift_iters
+    ))
+    modes = nms_modes(moved, attn, bw, density_threshold, attn_nms_threshold)
+    if symmetrize:
+        modes, _ = flip_joints(modes)
+    return modes

@@ -1,0 +1,84 @@
+"""On-device forward kinematics and linear blend skinning.
+
+The reference walks the joint hierarchy in Python per IK iteration
+(utils/deform_ik.py:45-60, utils/rig_parser.py:63-79) — 600 tree walks per
+tracked frame.  Here the topology is compiled away: the host extracts static
+topological levels once (geometry/skeleton.py Rig.levels), and FK becomes an
+unrolled loop of ≤depth batched (3,3) matmuls with scatter updates, fully
+inside jit.  LBS is one einsum.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FKTopology:
+    """Static FK schedule for one rig: per-level child/parent index arrays."""
+
+    def __init__(self, parents: np.ndarray):
+        parents = np.asarray(parents, int)
+        self.parents = parents
+        self.root = int(np.argwhere(parents < 0)[0, 0])
+        self.num_joints = len(parents)
+        levels: List[tuple] = []
+        frontier = [self.root]
+        while True:
+            nxt = [j for j in range(self.num_joints) if parents[j] in frontier]
+            if not nxt:
+                break
+            levels.append((np.asarray(nxt, np.int32), parents[nxt].astype(np.int32)))
+            frontier = nxt
+        self.levels = levels
+
+
+def fk(topology: FKTopology, local_rots: jax.Array, offsets: jax.Array,
+       root_trans: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+    """Forward kinematics.
+
+    local_rots (J,3,3), offsets (J,3) — rest offsets with the root's offset
+    being its rest position (rig_parser.py:52-60).  Returns (G (J,3,3) global
+    rotations, q (J,3) joint positions)."""
+    J = topology.num_joints
+    G = jnp.zeros((J, 3, 3), local_rots.dtype)
+    q = jnp.zeros((J, 3), local_rots.dtype)
+    G = G.at[topology.root].set(local_rots[topology.root])
+    root_q = offsets[topology.root]
+    if root_trans is not None:
+        root_q = root_q + root_trans
+    q = q.at[topology.root].set(root_q)
+    for child_idx, parent_idx in topology.levels:
+        Gp = G[parent_idx]                               # (L,3,3)
+        Gc = Gp @ local_rots[child_idx]
+        qc = q[parent_idx] + jnp.einsum("lab,lb->la", Gp, offsets[child_idx])
+        G = G.at[child_idx].set(Gc)
+        q = q.at[child_idx].set(qc)
+    return G, q
+
+
+def lbs_from_local(G: jax.Array, q: jax.Array, vert_local: jax.Array,
+                   skins: jax.Array) -> jax.Array:
+    """Blend per-joint local vertex coordinates into world positions
+    (deform_ik.py:110-111 math): out_v = Σ_j w_vj (G_j x_jv + q_j).
+
+    vert_local (J,V,3), skins (V,J) -> (V,3)."""
+    moved = jnp.einsum("jab,jvb->jva", G, vert_local) + q[:, None, :]
+    return jnp.einsum("vj,jva->va", skins, moved)
+
+
+def verts_to_local(G: jax.Array, q: jax.Array, verts: jax.Array) -> jax.Array:
+    """Express world vertices in every joint's local frame (the inverse
+    homogeneous transform of eval_tracking.py:60-61): x_jv = G_j^T (v - q_j)."""
+    rel = verts[None, :, :] - q[:, None, :]              # (J,V,3)
+    return jnp.einsum("jba,jvb->jva", G, rel)            # G^T applied
+
+
+def lbs_rest(verts: jax.Array, joints: jax.Array, skins: jax.Array,
+             G: jax.Array, q: jax.Array) -> jax.Array:
+    """LBS directly from rest pose: v' = Σ_j w_vj (G_j (v - p_j) + q_j)."""
+    rel = verts[:, None, :] - joints[None, :, :]
+    moved = jnp.einsum("jab,vjb->vja", G, rel) + q[None]
+    return jnp.einsum("vj,vja->va", skins, moved)

@@ -32,26 +32,30 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,))
 
         if train:
+            # Two-pass masked moments: E[(x-mean)^2], NOT E[x^2]-mean^2 — the
+            # one-pass form catastrophically cancels in fp32 for small-variance
+            # channels (post-ReLU activations of small inputs), which poisons
+            # the normalized outputs and explodes gradients.
             xf = x.astype(jnp.float32)
             if mask is None:
-                cnt = jnp.asarray(xf.size // C, jnp.float32)
-                s = jnp.sum(xf.reshape(-1, C), axis=0)
-                sq = jnp.sum((xf * xf).reshape(-1, C), axis=0)
+                m = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
             else:
                 m = mask
                 while m.ndim < x.ndim:
                     m = m[..., None]
                 m = m.astype(jnp.float32)
-                cnt = jnp.sum(m) * 1.0
-                s = jnp.sum((xf * m).reshape(-1, C), axis=0)
-                sq = jnp.sum((xf * xf * m).reshape(-1, C), axis=0)
+            cnt = jnp.sum(m) * 1.0
+            s = jnp.sum((xf * m).reshape(-1, C), axis=0)
             if self.axis_name is not None:
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 s = jax.lax.psum(s, self.axis_name)
-                sq = jax.lax.psum(sq, self.axis_name)
             cnt = jnp.maximum(cnt, 1.0)
             mean = s / cnt
-            var = jnp.maximum(sq / cnt - mean * mean, 0.0)
+            centered = (xf - mean) * m
+            sq = jnp.sum((centered * centered).reshape(-1, C), axis=0)
+            if self.axis_name is not None:
+                sq = jax.lax.psum(sq, self.axis_name)
+            var = sq / cnt
             if not self.is_initializing():
                 # torch-style unbiased running var
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)

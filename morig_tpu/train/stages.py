@@ -13,12 +13,18 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from morig_tpu.core.batch import PoseSample
+from morig_tpu.core.batch import PoseSample, RigSample
 from morig_tpu.core.config import Config, DEFAULT_CONFIG
-from morig_tpu.losses.basic import bce_with_logits, masked_l1
-from morig_tpu.losses.nce import info_nce
+from morig_tpu.losses.basic import (
+    batched_chamfer_with_average,
+    bce_with_logits,
+    cross_entropy_with_probs,
+    masked_l1,
+)
+from morig_tpu.losses.nce import info_nce, multi_pos_info_nce
 from morig_tpu.nn.corrnet import CorrNet
 from morig_tpu.nn.deformnet import DeformNet
+from morig_tpu.nn.rignet import JointNetMotion, MaskNetMotion, SkinMotion
 from morig_tpu.train import trainer
 
 
@@ -229,4 +235,383 @@ class DeformPoseStage:
         return state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch.mesh, batch.points, False, None,
+        )
+
+
+class RigStage:
+    """Joint/mask prediction training (train_rig.py:135-197): per-keyframe
+    motion embedding losses + either chamfer-to-joints + offset L1 (jointnet)
+    or mask BCE (masknet); input flow is GT or deform-predicted 50/50 during
+    training, predicted at eval (train_rig.py:147-151,210)."""
+
+    def __init__(self, cfg: Config = DEFAULT_CONFIG, arch: str = "jointnet",
+                 num_embed_sample: int = 512, axis_name: Optional[str] = None):
+        assert arch in ("jointnet", "masknet")
+        self.cfg = cfg
+        self.arch = arch
+        self.num_embed_sample = num_embed_sample
+        cls = JointNetMotion if arch == "jointnet" else MaskNetMotion
+        self.model = cls(
+            num_keyframes=cfg.model.num_keyframes,
+            aggr_method=cfg.model.aggr_method,
+            motion_dim=cfg.model.motion_dim,
+            axis_name=axis_name,
+        )
+        self._steps: dict = {}
+
+    def on_epoch(self, epoch: int):
+        pass
+
+    def make_tx(self, steps_per_epoch: int = 1):
+        # train_rig.py defaults: lr 5e-4, milestones [40, 80], gamma 0.2
+        return trainer.multistep_adam(5e-4, (40, 80), 0.2,
+                                      self.cfg.train.weight_decay, steps_per_epoch)
+
+    def init_state(self, rng, sample: RigSample, tx=None):
+        tx = tx or self.make_tx()
+        return trainer.create_state(
+            self.model, rng, (sample.gt_flow, sample.mesh), tx,
+            init_kwargs=dict(train=True),
+        )
+
+    def _embed_loss(self, rng, motion_all, motion_aggr, batch: RigSample):
+        T = motion_all.shape[2]
+        keys = jax.random.split(rng, T + 1)
+        loss = 0.0
+        for t in range(T):
+            loss += multi_pos_info_nce(
+                keys[t], motion_all[:, :, t, :], batch.gt_skin,
+                batch.mesh.vert_mask, num_sample=self.num_embed_sample,
+            )
+        loss += multi_pos_info_nce(
+            keys[T], motion_aggr, batch.gt_skin, batch.mesh.vert_mask,
+            num_sample=self.num_embed_sample,
+        )
+        return loss
+
+    def _losses(self, rng, outputs, batch: RigSample):
+        motion_all, motion_aggr, pred = outputs
+        loss_embed = self._embed_loss(rng, motion_all, motion_aggr, batch)
+        if self.arch == "jointnet":
+            disp = jnp.tanh(pred)
+            y_pred = disp + batch.mesh.verts
+            loss_chamfer = batched_chamfer_with_average(
+                y_pred, batch.joints, batch.mesh.vert_mask, batch.joints_mask
+            )
+            loss_l1 = masked_l1(disp, batch.offsets, batch.mesh.vert_mask)
+            total = 0.1 * loss_embed + loss_chamfer + loss_l1
+            return total, dict(loss_chamfer=loss_chamfer, loss_l1=loss_l1,
+                               loss_motion=0.1 * loss_embed, total_loss=total)
+        loss_bce = bce_with_logits(pred[..., 0], batch.attn_mask, batch.mesh.vert_mask)
+        total = 0.1 * loss_embed + loss_bce
+        return total, dict(loss_bce=loss_bce, loss_motion=0.1 * loss_embed,
+                           total_loss=total)
+
+    def _get_step(self, kind: str):
+        if kind in self._steps:
+            return self._steps[kind]
+        if kind == "train":
+            def step(state, batch, rng):
+                k_flow, k_embed = jax.random.split(rng)
+                use_gt = jax.random.uniform(k_flow) > 0.5
+                input_flow = jnp.where(use_gt, batch.gt_flow, batch.pred_flow)
+
+                def loss_fn(params):
+                    outputs, upd = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        input_flow, batch.mesh, True, mutable=["batch_stats"],
+                    )
+                    total, metrics = self._losses(k_embed, outputs, batch)
+                    return total, (metrics, upd)
+
+                (_, (metrics, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, upd["batch_stats"])
+                return state, metrics
+            fn = jax.jit(step, donate_argnums=(0,))
+        else:
+            def step(state, batch, rng):
+                outputs = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    batch.pred_flow, batch.mesh, False,
+                )
+                _, metrics = self._losses(rng, outputs, batch)
+                return metrics
+            fn = jax.jit(step)
+        self._steps[kind] = fn
+        return fn
+
+    def train_step(self, state, batch: RigSample, rng):
+        return self._get_step("train")(state, batch, rng)
+
+    def eval_step(self, state, batch: RigSample, rng=None):
+        rng = rng if rng is not None else jax.random.key(0)
+        return self._get_step("eval")(state, batch, rng)
+
+    def infer(self, state, input_flow, mesh):
+        """Returns (motion_all, motion_aggr, prediction).  For jointnet the
+        shifted points are verts + tanh(pred) (train_rig.py:224-225); for
+        masknet apply sigmoid to get attention."""
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            input_flow, mesh, False,
+        )
+
+
+class SkinStage:
+    """Skinning training (train_skin.py:142-182): soft-CE over the K nearest
+    bones with per-slot and per-vertex validity masking + motion embedding
+    losses; GT/pred flow 50/50 in training."""
+
+    def __init__(self, cfg: Config = DEFAULT_CONFIG, num_embed_sample: int = 512,
+                 axis_name: Optional[str] = None):
+        self.cfg = cfg
+        self.num_embed_sample = num_embed_sample
+        self.model = SkinMotion(
+            nearest_bone=cfg.model.nearest_bone,
+            use_Dg=cfg.model.use_Dg, use_Lf=cfg.model.use_Lf,
+            num_keyframes=cfg.model.num_keyframes,
+            motion_dim=cfg.model.motion_dim,
+            axis_name=axis_name,
+        )
+        self._steps: dict = {}
+
+    def on_epoch(self, epoch: int):
+        pass
+
+    def make_tx(self, steps_per_epoch: int = 1):
+        return trainer.multistep_adam(5e-4, (40, 80), 0.2,
+                                      self.cfg.train.weight_decay, steps_per_epoch)
+
+    def init_state(self, rng, sample: RigSample, tx=None):
+        tx = tx or self.make_tx()
+        return trainer.create_state(
+            self.model, rng, (sample.skin_input, sample.gt_flow, sample.mesh), tx,
+            init_kwargs=dict(train=True),
+        )
+
+    def _losses(self, rng, outputs, batch: RigSample):
+        motion_all, motion_aggr, logits = outputs
+        T = motion_all.shape[2]
+        keys = jax.random.split(rng, T + 1)
+        loss_embed = 0.0
+        for t in range(T):
+            loss_embed += multi_pos_info_nce(
+                keys[t], motion_all[:, :, t, :], batch.gt_skin,
+                batch.mesh.vert_mask, num_sample=self.num_embed_sample,
+            )
+        loss_embed += multi_pos_info_nce(
+            keys[T], motion_aggr, batch.gt_skin, batch.mesh.vert_mask,
+            num_sample=self.num_embed_sample,
+        )
+        K = logits.shape[-1]
+        skin_gt = batch.skin_label[..., :K] * batch.loss_mask[..., :K]
+        skin_gt = skin_gt / (jnp.sum(jnp.abs(skin_gt), axis=-1, keepdims=True) + 1e-8)
+        vert_ok = (jnp.abs(skin_gt.sum(-1) - 1.0) < 1e-6).astype(jnp.float32)
+        vert_ok = vert_ok * batch.mesh.vert_mask
+        per = cross_entropy_with_probs(logits, skin_gt)
+        w = batch.loss_mask[..., :K] * vert_ok[..., None]
+        loss_skin = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+        total = loss_skin + 0.01 * loss_embed
+        return total, dict(loss_skin=loss_skin, loss_motion=0.01 * loss_embed,
+                           total_loss=total)
+
+    def _get_step(self, kind: str):
+        if kind in self._steps:
+            return self._steps[kind]
+        if kind == "train":
+            def step(state, batch, rng):
+                k_flow, k_embed = jax.random.split(rng)
+                use_gt = jax.random.uniform(k_flow) > 0.5
+                input_flow = jnp.where(use_gt, batch.gt_flow, batch.pred_flow)
+
+                def loss_fn(params):
+                    outputs, upd = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch.skin_input, input_flow, batch.mesh, True,
+                        mutable=["batch_stats"],
+                    )
+                    total, metrics = self._losses(k_embed, outputs, batch)
+                    return total, (metrics, upd)
+
+                (_, (metrics, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, upd["batch_stats"])
+                return state, metrics
+            fn = jax.jit(step, donate_argnums=(0,))
+        else:
+            def step(state, batch, rng):
+                outputs = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    batch.skin_input, batch.pred_flow, batch.mesh, False,
+                )
+                _, metrics = self._losses(rng, outputs, batch)
+                return metrics
+            fn = jax.jit(step)
+        self._steps[kind] = fn
+        return fn
+
+    def train_step(self, state, batch: RigSample, rng):
+        return self._get_step("train")(state, batch, rng)
+
+    def eval_step(self, state, batch: RigSample, rng=None):
+        rng = rng if rng is not None else jax.random.key(0)
+        return self._get_step("eval")(state, batch, rng)
+
+    def infer(self, state, skin_input, input_flow, mesh):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            skin_input, input_flow, mesh, False,
+        )
+
+
+class BoneStage:
+    """BoneNet (pairwise connectivity) training — absent from the reference,
+    reconstructed per the RigNet recipe (SURVEY.md §2.5): BCE over candidate
+    pair logits with random pair-order permutation (bonenet.py:114-118)."""
+
+    def __init__(self, cfg: Config = DEFAULT_CONFIG, axis_name: Optional[str] = None):
+        from morig_tpu.nn.bonenet import BoneNet
+
+        self.cfg = cfg
+        self.model = BoneNet(axis_name=axis_name)
+        self._steps: dict = {}
+
+    def on_epoch(self, epoch: int):
+        pass
+
+    def make_tx(self, steps_per_epoch: int = 1):
+        return trainer.multistep_adam(1e-3, (50,), 0.1, self.cfg.train.weight_decay,
+                                      steps_per_epoch)
+
+    def init_state(self, rng, sample, tx=None):
+        tx = tx or self.make_tx()
+        return trainer.create_state(
+            self.model, rng,
+            (sample.mesh, sample.joints, sample.joints_mask, sample.pairs, sample.pair_attr),
+            tx, init_kwargs=dict(train=True, rng=rng),
+        )
+
+    def _get_step(self, kind: str):
+        if kind in self._steps:
+            return self._steps[kind]
+        if kind == "train":
+            def step(state, batch, rng):
+                k_perm, k_drop = jax.random.split(rng)
+
+                def loss_fn(params):
+                    logits, upd = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch.mesh, batch.joints, batch.joints_mask,
+                        batch.pairs, batch.pair_attr, True, True, k_perm,
+                        mutable=["batch_stats"], rngs={"dropout": k_drop},
+                    )
+                    loss = bce_with_logits(logits[..., 0], batch.pair_label, batch.pair_mask)
+                    return loss, (dict(total_loss=loss), upd)
+
+                (_, (metrics, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, upd["batch_stats"])
+                return state, metrics
+            fn = jax.jit(step, donate_argnums=(0,))
+        else:
+            def step(state, batch):
+                logits = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    batch.mesh, batch.joints, batch.joints_mask,
+                    batch.pairs, batch.pair_attr, False,
+                )
+                loss = bce_with_logits(logits[..., 0], batch.pair_label, batch.pair_mask)
+                return dict(total_loss=loss)
+            fn = jax.jit(step)
+        self._steps[kind] = fn
+        return fn
+
+    def train_step(self, state, batch, rng):
+        return self._get_step("train")(state, batch, rng)
+
+    def eval_step(self, state, batch):
+        return self._get_step("eval")(state, batch)
+
+    def infer(self, state, batch):
+        """Connectivity logits for skeleton assembly (joint2rig.py:210-216)."""
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.mesh, batch.joints, batch.joints_mask,
+            batch.pairs, batch.pair_attr, False,
+        )
+
+
+class RootStage:
+    """RootNet training — RigNet-style softmax CE over joints with the GT root
+    as the class label (SURVEY.md §2.5; shuffling semantics of
+    rootnet.py:74-84 are realized by CE over all candidates)."""
+
+    def __init__(self, cfg: Config = DEFAULT_CONFIG, axis_name: Optional[str] = None):
+        from morig_tpu.nn.bonenet import RootNet
+
+        self.cfg = cfg
+        self.model = RootNet(axis_name=axis_name)
+        self._steps: dict = {}
+
+    def on_epoch(self, epoch: int):
+        pass
+
+    def make_tx(self, steps_per_epoch: int = 1):
+        return trainer.multistep_adam(1e-3, (50,), 0.1, self.cfg.train.weight_decay,
+                                      steps_per_epoch)
+
+    def init_state(self, rng, sample, tx=None):
+        tx = tx or self.make_tx()
+        return trainer.create_state(
+            self.model, rng, (sample.mesh, sample.joints, sample.joints_mask),
+            tx, init_kwargs=dict(train=True),
+        )
+
+    def _loss(self, logits, batch):
+        z = jnp.where(batch.joints_mask, logits[..., 0], -1e30)
+        logz = jax.nn.logsumexp(z, axis=-1)
+        picked = jnp.take_along_axis(z, batch.root_idx[:, None], axis=1)[:, 0]
+        loss = jnp.mean(logz - picked)
+        acc = jnp.mean((jnp.argmax(z, axis=-1) == batch.root_idx).astype(jnp.float32))
+        return loss, dict(total_loss=loss, root_acc=acc)
+
+    def _get_step(self, kind: str):
+        if kind in self._steps:
+            return self._steps[kind]
+        if kind == "train":
+            def step(state, batch, rng):
+                def loss_fn(params):
+                    logits, upd = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch.mesh, batch.joints, batch.joints_mask, True,
+                        mutable=["batch_stats"],
+                    )
+                    loss, metrics = self._loss(logits, batch)
+                    return loss, (metrics, upd)
+
+                (_, (metrics, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, upd["batch_stats"])
+                return state, metrics
+            fn = jax.jit(step, donate_argnums=(0,))
+        else:
+            def step(state, batch):
+                logits = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    batch.mesh, batch.joints, batch.joints_mask, False,
+                )
+                _, metrics = self._loss(logits, batch)
+                return metrics
+            fn = jax.jit(step)
+        self._steps[kind] = fn
+        return fn
+
+    def train_step(self, state, batch, rng):
+        return self._get_step("train")(state, batch, rng)
+
+    def eval_step(self, state, batch):
+        return self._get_step("eval")(state, batch)
+
+    def infer(self, state, batch):
+        """Per-joint root logits (getInitId, joint2rig.py:27-38)."""
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.mesh, batch.joints, batch.joints_mask, False,
         )

@@ -47,14 +47,23 @@ def multistep_adam(
     gamma: float,
     weight_decay: float,
     steps_per_epoch: int = 1,
+    clip_norm: Optional[float] = 10.0,
 ) -> optax.GradientTransformation:
-    """Adam + MultiStepLR + L2 decay (train_corr_pose.py:154,221)."""
+    """Adam + MultiStepLR + L2 decay (train_corr_pose.py:154,221).
+
+    Global-norm clipping is an addition over the reference recipe: motion
+    inputs with near-constant neighbor differences drive the first BN layers
+    into tiny-variance regimes whose backward pass explodes (observed ~1e6
+    grad norms at init on low-motion data); clipping at 10 leaves healthy
+    steps untouched and keeps the first epochs stable.
+    """
     boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
     schedule = optax.piecewise_constant_schedule(lr, boundaries)
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.adam(schedule),
-    )
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts += [optax.add_decayed_weights(weight_decay), optax.adam(schedule)]
+    return optax.chain(*parts)
 
 
 def create_state(model, rng: jax.Array, example_inputs: tuple, tx, init_kwargs=None) -> TrainState:

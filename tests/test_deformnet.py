@@ -32,14 +32,13 @@ def test_deformnet_frozen_extractor_and_learning():
     state = stage.init_state(jax.random.key(0), batch)
     corr_before = jax.tree_util.tree_map(np.asarray, state.params["corr_extractor"])
     rng = jax.random.key(7)
-    first = None
-    for _ in range(6):
+    losses = []
+    for _ in range(16):
         rng, sub = jax.random.split(rng)
         state, metrics = stage.train_step(state, batch, sub)
-        if first is None:
-            first = float(metrics["total_loss"])
-    last = float(metrics["total_loss"])
-    assert np.isfinite(last) and last < first
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses[-1])
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
     # extractor params untouched (train_deform_pose.py freezes them)
     corr_after = state.params["corr_extractor"]
     flat_b = jax.tree_util.tree_leaves(corr_before)

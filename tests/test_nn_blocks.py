@@ -59,11 +59,17 @@ def test_masked_batchnorm_ignores_padding(rng):
 
 def test_edgeconv_matches_oracle(rng):
     """EdgeConv (eval mode, identity BN stats) vs explicit numpy aggregation."""
+    from morig_tpu.nn import mlp as mlp_mod
+
     mesh = make_mesh(rng)
     x = jnp.asarray(rng.normal(size=(2, 32, 6)).astype(np.float32))
     conv = EdgeConv([8, 8])
-    v = conv.init(jax.random.key(1), x, mesh.tpl_nbr, mesh.tpl_mask, False)
-    out = conv.apply(v, x, mesh.tpl_nbr, mesh.tpl_mask, False)
+    mlp_mod.set_default_norm("batch")
+    try:
+        v = conv.init(jax.random.key(1), x, mesh.tpl_nbr, mesh.tpl_mask, False)
+        out = conv.apply(v, x, mesh.tpl_nbr, mesh.tpl_mask, False)
+    finally:
+        mlp_mod.set_default_norm("layer")
     assert out.shape == (2, 32, 8)
     # oracle for vertex 3 of sample 0
 
