@@ -1,0 +1,121 @@
+"""Rotation conversions, device FK/LBS vs numpy oracle, IK convergence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morig_tpu.data.synthetic import fk_numpy, lbs_numpy, make_capsule_rig, rotz
+from morig_tpu.geometry.fk import FKTopology, fk, lbs_from_local, lbs_rest, verts_to_local
+from morig_tpu.geometry.ik import IKConfig, make_ik_solver
+from morig_tpu.geometry.rotations import (
+    euler_to_matrix, matrix_to_6d, matrix_to_euler, matrix_to_quaternion,
+    quaternion_to_matrix, sixd_to_matrix,
+)
+
+
+def test_rotation_roundtrips(rng):
+    angles = jnp.asarray(rng.uniform(-1.2, 1.2, size=(10, 3)).astype(np.float32))
+    R = euler_to_matrix(angles)
+    # orthonormality
+    eye = jnp.einsum("nab,ncb->nac", R, R)
+    np.testing.assert_allclose(np.asarray(eye), np.eye(3)[None].repeat(10, 0), atol=1e-5)
+    # euler roundtrip
+    back = matrix_to_euler(R)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(angles), atol=1e-4)
+    # 6d roundtrip
+    R2 = sixd_to_matrix(matrix_to_6d(R))
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+    # quaternion roundtrip
+    R3 = quaternion_to_matrix(matrix_to_quaternion(R))
+    np.testing.assert_allclose(np.asarray(R3), np.asarray(R), atol=1e-4)
+
+
+def test_quaternion_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation
+
+    angles = rng.uniform(-2, 2, size=(8, 3)).astype(np.float32)
+    R = np.asarray(euler_to_matrix(jnp.asarray(angles)))
+    q = np.asarray(matrix_to_quaternion(jnp.asarray(R)))
+    q_ref = Rotation.from_matrix(R).as_quat()
+    # quaternions are sign-ambiguous
+    sign = np.sign((q * q_ref).sum(-1, keepdims=True))
+    np.testing.assert_allclose(q * sign, q_ref, atol=1e-4)
+
+
+def test_device_fk_matches_oracle():
+    cap = make_capsule_rig(9, 8)
+    topo = FKTopology(cap.parents)
+    locals_ = np.stack([rotz(0.2), rotz(0.6), rotz(-0.4)]).astype(np.float32)
+    offsets = cap.joints.copy()
+    offsets[1:] = cap.joints[1:] - cap.joints[cap.parents[1:]]
+    G, q = fk(topo, jnp.asarray(locals_), jnp.asarray(offsets))
+    G2, q2 = fk_numpy(cap.joints, cap.parents, locals_)
+    np.testing.assert_allclose(np.asarray(G), G2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q), q2, atol=1e-5)
+
+    # LBS from rest matches oracle
+    posed = lbs_rest(jnp.asarray(cap.verts), jnp.asarray(cap.joints),
+                     jnp.asarray(cap.skins), G, q)
+    posed2 = lbs_numpy(cap.verts, cap.joints, cap.parents, cap.skins, locals_)
+    np.testing.assert_allclose(np.asarray(posed), posed2, atol=1e-4)
+
+
+def test_local_roundtrip():
+    """verts -> joint-local coords -> LBS with identity pose reproduces verts."""
+    cap = make_capsule_rig(9, 8)
+    topo = FKTopology(cap.parents)
+    eye = jnp.asarray(np.repeat(np.eye(3, dtype=np.float32)[None], 3, 0))
+    offsets = cap.joints.copy()
+    offsets[1:] = cap.joints[1:] - cap.joints[cap.parents[1:]]
+    G, q = fk(topo, eye, jnp.asarray(offsets))
+    local = verts_to_local(G, q, jnp.asarray(cap.verts))
+    back = lbs_from_local(G, q, local, jnp.asarray(cap.skins))
+    np.testing.assert_allclose(np.asarray(back), cap.verts, atol=1e-5)
+
+
+def test_ik_recovers_bend():
+    """IK must recover vertex positions of a known bend of the capsule."""
+    cap = make_capsule_rig(9, 8)
+    topo = FKTopology(cap.parents)
+    eye = np.repeat(np.eye(3, dtype=np.float32)[None], 3, 0)
+    offsets = cap.joints.copy()
+    offsets[1:] = cap.joints[1:] - cap.joints[cap.parents[1:]]
+    target_locals = np.stack([np.eye(3, dtype=np.float32), rotz(0.5), rotz(0.3)])
+    targets = lbs_numpy(cap.verts, cap.joints, cap.parents, cap.skins, target_locals)
+
+    G0, q0 = fk(topo, jnp.asarray(eye), jnp.asarray(offsets))
+    vert_local = verts_to_local(G0, q0, jnp.asarray(cap.verts))
+    solver = make_ik_solver(topo, IKConfig(iters=300, lr=5e-2))
+    V = len(cap.verts)
+    locals_out, G, q = solver(
+        jnp.asarray(eye), jnp.asarray(offsets), vert_local, jnp.asarray(cap.skins),
+        jnp.arange(V), jnp.asarray(targets.astype(np.float32)), jnp.ones(V),
+    )
+    posed = np.asarray(lbs_from_local(G, q, vert_local, jnp.asarray(cap.skins)))
+    err = np.linalg.norm(posed - targets, axis=1).mean()
+    init_err = np.linalg.norm(cap.verts - targets, axis=1).mean()
+    assert err < 0.1 * init_err, (err, init_err)
+
+
+def test_ik_ignores_invisible():
+    """Constraints with vismask below threshold must not affect the solve."""
+    cap = make_capsule_rig(9, 8)
+    topo = FKTopology(cap.parents)
+    eye = np.repeat(np.eye(3, dtype=np.float32)[None], 3, 0)
+    offsets = cap.joints.copy()
+    offsets[1:] = cap.joints[1:] - cap.joints[cap.parents[1:]]
+    G0, q0 = fk(topo, jnp.asarray(eye), jnp.asarray(offsets))
+    vert_local = verts_to_local(G0, q0, jnp.asarray(cap.verts))
+    solver = make_ik_solver(topo, IKConfig(iters=50, lr=5e-2, w_invis=0.0))
+    V = len(cap.verts)
+    targets = cap.verts.copy()
+    garbage = targets.copy()
+    garbage[: V // 2] = 99.0  # invisible garbage targets
+    vis = np.ones(V)
+    vis[: V // 2] = 0.0
+    _, G1, q1 = solver(jnp.asarray(eye), jnp.asarray(offsets), vert_local,
+                       jnp.asarray(cap.skins), jnp.arange(V),
+                       jnp.asarray(garbage.astype(np.float32)), jnp.asarray(vis))
+    _, G2, q2 = solver(jnp.asarray(eye), jnp.asarray(offsets), vert_local,
+                       jnp.asarray(cap.skins), jnp.arange(V),
+                       jnp.asarray(targets.astype(np.float32)), jnp.asarray(vis))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
