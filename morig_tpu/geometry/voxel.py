@@ -89,9 +89,9 @@ def write_binvox(vox: Voxels, path: str) -> None:
 def voxelize_mesh(verts: np.ndarray, faces: np.ndarray, dims: int = 88,
                   pad: float = 0.02) -> Voxels:
     """Solid voxelization: rasterize the surface by dense face sampling, then
-    flood-fill from the boundary and invert to get interior+surface."""
-    from scipy import ndimage
-
+    flood-fill from the boundary and invert to get interior+surface.  The
+    flood fill uses the C++ accelerator when built (morig_tpu.native),
+    falling back to scipy binary_dilation."""
     lo = verts.min(0) - pad
     hi = verts.max(0) + pad
     scale = float((hi - lo).max())
@@ -121,14 +121,20 @@ def voxelize_mesh(verts: np.ndarray, faces: np.ndarray, dims: int = 88,
     grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
 
     # flood fill exterior
-    outside = np.zeros_like(grid)
-    outside[0, :, :] = outside[-1, :, :] = True
-    outside[:, 0, :] = outside[:, -1, :] = True
-    outside[:, :, 0] = outside[:, :, -1] = True
-    outside &= ~grid
-    struct = ndimage.generate_binary_structure(3, 1)
-    outside = ndimage.binary_dilation(outside, struct, iterations=-1, mask=~grid)
-    solid = ~outside
+    from morig_tpu import native
+
+    solid = native.solid_fill(grid)
+    if solid is None:  # pure-python fallback
+        from scipy import ndimage
+
+        outside = np.zeros_like(grid)
+        outside[0, :, :] = outside[-1, :, :] = True
+        outside[:, 0, :] = outside[:, -1, :] = True
+        outside[:, :, 0] = outside[:, :, -1] = True
+        outside &= ~grid
+        struct = ndimage.generate_binary_structure(3, 1)
+        outside = ndimage.binary_dilation(outside, struct, iterations=-1, mask=~grid)
+        solid = ~outside
     return Voxels(data=solid, translate=translate.astype(np.float64), scale=scale, dims=dims)
 
 

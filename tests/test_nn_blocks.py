@@ -71,19 +71,28 @@ def test_edgeconv_matches_oracle(rng):
     finally:
         mlp_mod.set_default_norm("layer")
     assert out.shape == (2, 32, 8)
-    # oracle for vertex 3 of sample 0
+    # oracle for vertex 3 of sample 0: reconstruct the *reference* concat-MLP
+    # weights from the decomposed parameterization W1 = U + W2, W2 = lin_nbr
+    p = v["params"]["nn_pos"]
+    U = np.asarray(p["lin_self"]["kernel"])       # W1 - W2
+    b0 = np.asarray(p["lin_self"]["bias"])
+    W2 = np.asarray(p["lin_nbr"]["kernel"])
+    W1 = U + W2
 
-    def mlp_np(h):
-        p = v["params"]["nn_pos"]
-        for i in range(2):
-            W = np.asarray(p[f"dense_{i}"]["kernel"])
-            b = np.asarray(p[f"dense_{i}"]["bias"])
-            h = np.maximum(h @ W + b, 0)
-            bs = v["batch_stats"]["nn_pos"][f"bn_{i}"]
-            sc = np.asarray(v["params"]["nn_pos"][f"bn_{i}"]["scale"])
-            bi = np.asarray(v["params"]["nn_pos"][f"bn_{i}"]["bias"])
-            h = (h - np.asarray(bs["mean"])) / np.sqrt(np.asarray(bs["var"]) + 1e-5) * sc + bi
-        return h
+    def bn_np(h, i):
+        bs = v["batch_stats"]["nn_pos"][f"norm_{i}"]["bn"]
+        pp = v["params"]["nn_pos"][f"norm_{i}"]["bn"]
+        return (h - np.asarray(bs["mean"])) / np.sqrt(np.asarray(bs["var"]) + 1e-5) \
+            * np.asarray(pp["scale"]) + np.asarray(pp["bias"])
+
+    def mlp_np(xi, xj):
+        # reference message: MLP([x_i, x_j - x_i]) with W = [W1; W2]
+        h = np.maximum(xi @ W1 + (xj - xi) @ W2 + b0, 0)
+        h = bn_np(h, 0)
+        W = np.asarray(p["dense_1"]["kernel"])
+        b = np.asarray(p["dense_1"]["bias"])
+        h = np.maximum(h @ W + b, 0)
+        return bn_np(h, 1)
 
     xi = np.asarray(x)[0, 3]
     msgs = []
@@ -91,8 +100,7 @@ def test_edgeconv_matches_oracle(rng):
     m = np.asarray(mesh.tpl_mask)[0, 3]
     for j, ok in zip(nbr, m):
         if ok:
-            xj = np.asarray(x)[0, j]
-            msgs.append(mlp_np(np.concatenate([xi, xj - xi])))
+            msgs.append(mlp_np(xi, np.asarray(x)[0, j]))
     want = np.max(np.stack(msgs), axis=0)
     np.testing.assert_allclose(np.asarray(out)[0, 3], want, atol=1e-4)
 

@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4.5: data-parallel steps must agree with single-device execution,
+and the tp/dp-sharded full training step must compile and run.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morig_tpu.parallel.sharding import (
+    make_device_mesh, replicate, shard_batch, shard_params_tp, shard_state,
+)
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_mesh_shapes(devices_ok):
+    mesh = make_device_mesh(8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_device_mesh(4, model_parallel=1)
+    assert mesh1.shape == {"data": 4, "model": 1}
+
+
+def test_dp_matches_single_device(devices_ok):
+    """Sharded training step == single-device step (psum determinism)."""
+    from morig_tpu.data.pose import capsule_pose_dataset
+    from morig_tpu.train.stages import DeformPoseStage
+
+    ds = capsule_pose_dataset(num_models=4, num_frames=4, num_points=64,
+                              n_lat=7, n_lon=6)
+    batch = ds.batch([0, 1, 2, 3], 0, 2)
+    stage = DeformPoseStage()
+    state1 = stage.init_state(jax.random.key(0), batch)
+    # independent copy: train_step donates its input state buffers
+    state2 = jax.tree_util.tree_map(lambda x: jnp.array(x), state1)
+
+    # single device
+    sd_state, sd_metrics = stage.train_step(state1, batch, jax.random.key(1))
+
+    mesh = make_device_mesh(4, model_parallel=1)
+    state2 = shard_state(state2, mesh, tensor_parallel=False, reinit_opt=True)
+    sharded_batch = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        dp_state, dp_metrics = stage.train_step(state2, sharded_batch, jax.random.key(1))
+
+    np.testing.assert_allclose(
+        float(sd_metrics["total_loss"]), float(dp_metrics["total_loss"]), rtol=1e-4
+    )
+    # parameters after the step agree (Adam's rsqrt amplifies reduction-order
+    # float noise for near-zero second moments, hence the loose atol)
+    for a, b in zip(jax.tree_util.tree_leaves(sd_state.params),
+                    jax.tree_util.tree_leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+
+
+def test_tp_param_sharding(devices_ok):
+    mesh = make_device_mesh(8, model_parallel=2)
+    params = {
+        "big": {"kernel": jnp.zeros((256, 1024)), "bias": jnp.zeros((1024,))},
+        "small": {"kernel": jnp.zeros((8, 16)), "bias": jnp.zeros((16,))},
+    }
+    sharded = shard_params_tp(params, mesh)
+    big_shards = sharded["big"]["kernel"].sharding.spec
+    assert big_shards == jax.sharding.PartitionSpec(None, "model")
+    assert sharded["small"]["kernel"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_graft_dryrun(devices_ok):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
