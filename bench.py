@@ -51,6 +51,19 @@ def main():
     pose_batch = pose_ds.batch(list(range(Bn)), 0, min(2, nf - 1))
     rig_batch = rig_ds.batch(list(range(Bn)))
 
+    if not args.smoke:
+        # fused Pallas edge kernel; halo-window gather when the mesh ordering
+        # is coherent (kernels/edge_fused.py)
+        from morig_tpu.kernels.edge_fused import check_neighbor_locality
+        from morig_tpu.nn import gcu
+
+        local = all(
+            check_neighbor_locality(np.asarray(t))
+            for t in (rig_batch.mesh.tpl_nbr, rig_batch.mesh.geo_nbr,
+                      pose_batch.mesh.tpl_nbr, pose_batch.mesh.geo_nbr)
+        )
+        gcu.set_edge_impl("windowed" if local else "fused")
+
     rng = jax.random.key(0)
     deform = DeformPoseStage()
     deform_state = deform.init_state(rng, pose_batch)

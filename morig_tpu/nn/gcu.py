@@ -38,6 +38,38 @@ def gather_nbrs(x: jax.Array, nbr: jax.Array) -> jax.Array:
     return jax.vmap(lambda xb, nb: xb[nb])(x, nbr)
 
 
+_EDGE_IMPL = "auto"
+
+
+def set_edge_impl(name: str) -> None:
+    """Select the edge-message implementation:
+      "xla"     — pure XLA path (always; required for training)
+      "fused"   — fused Pallas kernel at inference (full-table gather)
+      "windowed"— fused Pallas kernel with 3-block halo gather; the caller
+                  must have verified neighbor locality
+                  (kernels.edge_fused.check_neighbor_locality)
+      "auto"    — "fused" on TPU at inference when shapes allow, else "xla"
+    """
+    global _EDGE_IMPL
+    assert name in ("auto", "xla", "fused", "windowed")
+    _EDGE_IMPL = name
+
+
+def get_edge_impl() -> str:
+    return _EDGE_IMPL
+
+
+def _fusable(train, channels, V, H1, H2, tile_v=256):
+    if train or get_default_norm() != "layer" or len(channels) != 2:
+        return False
+    if H1 < 128 or H1 % 128 or H2 % 128 or V % tile_v:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        return False
+
+
 class _Norm(nn.Module):
     """One post-ReLU normalization stage honoring the process default."""
 
@@ -75,16 +107,53 @@ class EdgeMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, nbr_mask, train: bool = False):
+        # bf16 messages at inference only: training gradients through bf16
+        # edge tensors measurably destabilize the small-lr Adam recipe, and
+        # the "batch" norm mode is the exact-parity path — both stay fp32.
+        norm = get_default_norm()
+        dt = jnp.float32 if (train or norm == "batch") else self.edge_dtype
         h1 = self.channels[0]
-        a = nn.Dense(h1, dtype=self.edge_dtype, name="lin_self")(x)
-        b = nn.Dense(h1, dtype=self.edge_dtype, use_bias=False, name="lin_nbr")(x)
-        h = a[:, :, None, :] + gather_nbrs(b, nbr)           # (B,V,D,H) bf16
+        a = nn.Dense(h1, dtype=dt, name="lin_self")(x)
+        b = nn.Dense(h1, dtype=dt, use_bias=False, name="lin_nbr")(x)
+
+        if norm == "layer" and len(self.channels) == 2:
+            # explicit tail params: shared by the XLA path and the fused
+            # Pallas kernel (LayerNorm eps 1e-6, matching flax)
+            h2 = self.channels[1]
+            w2 = self.param("dense_1_kernel", nn.initializers.lecun_normal(), (h1, h2))
+            b2 = self.param("dense_1_bias", nn.initializers.zeros, (h2,))
+            g1 = self.param("ln0_scale", nn.initializers.ones, (h1,))
+            be1 = self.param("ln0_bias", nn.initializers.zeros, (h1,))
+            g2 = self.param("ln1_scale", nn.initializers.ones, (h2,))
+            be2 = self.param("ln1_bias", nn.initializers.zeros, (h2,))
+
+            impl = get_edge_impl()
+            V = x.shape[1]
+            if (impl != "xla" and not self.is_initializing()
+                    and _fusable(train, self.channels, V, h1, h2)):
+                from morig_tpu.kernels import edge_fused as ef
+
+                fn = ef.fused_edge_mlp_windowed if (
+                    impl == "windowed" and V // 256 >= 3
+                ) else ef.fused_edge_mlp
+                return fn(a.astype(jnp.float32), b.astype(jnp.float32),
+                          nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
+
+            from morig_tpu.kernels.edge_fused import _ln
+
+            h = jnp.maximum(a[:, :, None, :] + gather_nbrs(b, nbr), 0.0)
+            h = _ln(h, g1.astype(dt), be1.astype(dt))
+            h = jnp.maximum(h @ w2.astype(dt) + b2.astype(dt), 0.0)
+            h = _ln(h, g2.astype(dt), be2.astype(dt))
+            return masked_max(h, nbr_mask, axis=2).astype(jnp.float32)
+
+        h = a[:, :, None, :] + gather_nbrs(b, nbr)           # (B,V,D,H)
         h = nn.relu(h)
-        h = _Norm(axis_name=self.axis_name, dtype=self.edge_dtype, name="norm_0")(h, nbr_mask, train)
+        h = _Norm(axis_name=self.axis_name, dtype=dt, name="norm_0")(h, nbr_mask, train)
         for i, ch in enumerate(self.channels[1:], start=1):
-            h = nn.Dense(ch, dtype=self.edge_dtype, name=f"dense_{i}")(h)
+            h = nn.Dense(ch, dtype=dt, name=f"dense_{i}")(h)
             h = nn.relu(h)
-            h = _Norm(axis_name=self.axis_name, dtype=self.edge_dtype, name=f"norm_{i}")(h, nbr_mask, train)
+            h = _Norm(axis_name=self.axis_name, dtype=dt, name=f"norm_{i}")(h, nbr_mask, train)
         return masked_max(h, nbr_mask, axis=2).astype(jnp.float32)
 
 
