@@ -42,11 +42,16 @@ def _setup(args):
         jax.config.update("jax_platforms", args.platform)
 
 
-def _pose_dataset(args):
+def _pose_dataset(args, shape: bool = False):
     from morig_tpu.data.pose import PoseDataset, capsule_pose_dataset
 
     if args.data == "capsule":
-        return capsule_pose_dataset(num_models=args.num_models, num_frames=6)
+        nf = 2 if shape else 6
+        return capsule_pose_dataset(num_models=args.num_models, num_frames=nf)
+    if shape:
+        from morig_tpu.data.loaders import load_shape_models
+
+        return PoseDataset(load_shape_models(args.data))
     from morig_tpu.data.loaders import load_pose_models
 
     return PoseDataset(load_pose_models(args.data, args.kind, args.sequential))
@@ -97,7 +102,7 @@ def cmd_train(args):
     if stage_name in ("corr_pose", "corr_shape"):
         from morig_tpu.train.stages import CorrPoseStage
 
-        ds = _pose_dataset(args)
+        ds = _pose_dataset(args, shape=stage_name == "corr_shape")
         stage = CorrPoseStage()
         if args.train_vismask:
             stage.train_vismask = True
@@ -111,7 +116,7 @@ def cmd_train(args):
         from morig_tpu.train import checkpoint as ckpt
         from morig_tpu.train.stages import DeformPoseStage
 
-        ds = _pose_dataset(args)
+        ds = _pose_dataset(args, shape=stage_name == "deform_shape")
         stage = DeformPoseStage(train_extractor=args.train_extractor)
 
         def batches(rng, train=True):

@@ -168,3 +168,47 @@ def load_rig_models(folder: str, limit: Optional[int] = None, **kw) -> List[RigM
     if limit:
         prefixes = prefixes[:limit]
     return [load_rig_model(p, **kw) for p in prefixes]
+
+
+def load_shape_model(prefix: str) -> PoseModel:
+    """Load one shape-difference model (datasets/dataset_shape.py:32-82
+    layout: {name}_0.obj rest mesh + _pts/_flow/_corr_*/_vismask, single
+    deformation pair).  Mapped onto the 2-frame PoseModel convention: frame 0
+    is the rest mesh, frame 1 the flow-deformed target."""
+    from morig_tpu.data.mesh_io import read_obj
+
+    name = os.path.basename(prefix)
+    verts, _ = read_obj(prefix + "_0.obj")
+    pts = np.load(prefix + "_pts.npy").astype(np.float32)
+    flow = np.load(prefix + "_flow.npy").astype(np.float32)
+    corr_v2p = np.load(prefix + "_corr_v2p.npy").astype(np.int64)
+    corr_p2v = np.load(prefix + "_corr_p2v.npy").astype(np.int64)
+    vis = np.load(prefix + "_vismask.npy").astype(np.float32).reshape(len(verts))
+    tpl = load_edge_file(prefix + "_tpl_e.txt")
+    geo = load_edge_file(prefix + "_geo_e.txt")
+
+    def with_frame(c):
+        if c.shape[1] == 2:
+            c = np.concatenate([c, np.ones((len(c), 1), c.dtype)], axis=1)
+        else:
+            c = c.copy()
+            c[:, -1] = 1
+        return c.astype(np.int32)
+
+    vtx_traj = np.stack([verts, verts + flow], axis=1)
+    pts_traj = np.stack([pts, pts], axis=1)
+    return PoseModel(
+        name=name, vtx_traj=vtx_traj.astype(np.float32),
+        pts_traj=pts_traj.astype(np.float32),
+        corr_v2p=with_frame(corr_v2p), corr_p2v=with_frame(corr_p2v),
+        vismask=np.stack([vis, vis], axis=1), tpl_edges=tpl, geo_edges=geo,
+    )
+
+
+def load_shape_models(folder: str, limit: Optional[int] = None) -> List[PoseModel]:
+    prefixes = sorted(
+        f[: -len("_0.obj")] for f in glob.glob(os.path.join(folder, "*_0.obj"))
+    )
+    if limit:
+        prefixes = prefixes[:limit]
+    return [load_shape_model(p) for p in prefixes]

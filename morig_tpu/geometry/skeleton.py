@@ -369,3 +369,68 @@ def rig_from_parents(joints: np.ndarray, parents: np.ndarray,
                      names: Optional[Sequence[str]] = None) -> Rig:
     names = list(names) if names is not None else [f"joint_{i}" for i in range(len(joints))]
     return Rig(names=names, pos=np.asarray(joints, float), parents=np.asarray(parents, int))
+
+
+def prim_mst_middle_first(cost: np.ndarray, root: int, joints: np.ndarray,
+                          tol: float = 2e-2) -> tuple[np.ndarray, int]:
+    """Prim variant that spans all middle-plane joints before attaching side
+    joints (mst_utils.py:222-266); root snapped to the nearest middle joint."""
+    n = cost.shape[0]
+    s = side_of(joints, tol)
+    mids = np.argwhere(s == 0).reshape(-1)
+    if s[root] != 0 and len(mids) > 0:
+        root = int(mids[np.argmin(np.linalg.norm(joints[mids] - joints[root], axis=1))])
+    key = np.full(n, np.inf)
+    parent = np.full(n, -1, int)
+    in_tree = np.zeros(n, bool)
+    key[root] = 0.0
+
+    def pick(cands):
+        masked = np.where(in_tree[cands], np.inf, key[cands])
+        return int(cands[np.argmin(masked)])
+
+    def relax(u):
+        upd = (~in_tree) & (cost[u] > 0) & (cost[u] < key)
+        key[upd] = cost[u][upd]
+        parent[upd] = u
+
+    while not in_tree[mids].all() if len(mids) else False:
+        u = pick(mids)
+        in_tree[u] = True
+        relax(u)
+    while not in_tree.all():
+        u = int(np.argmin(np.where(in_tree, np.inf, key)))
+        in_tree[u] = True
+        relax(u)
+    parent[root] = -1
+    return parent, root
+
+
+# ---------------------------------------------------------------------------
+# *_skel.txt level format IO (utils/rig_parser.py Skel: "level name x y z parent")
+# ---------------------------------------------------------------------------
+
+def save_skel_format(rig: Rig, path: str) -> None:
+    with open(path, "w") as f:
+        level_of = {int(rig.root_id): 1}
+        for depth, level in enumerate(rig.levels(), start=1):
+            for j in level:
+                parent = rig.parents[j]
+                pname = rig.names[parent] if parent >= 0 else "None"
+                p = rig.pos[j]
+                f.write(f"{depth} {rig.names[j]} {p[0]:8f} {p[1]:8f} {p[2]:8f} {pname}\n")
+
+
+def load_skel_format(path: str) -> Rig:
+    names, pos, parent_names = [], [], []
+    with open(path) as f:
+        for line in f:
+            w = line.split()
+            if len(w) < 6:
+                continue
+            names.append(w[1])
+            pos.append([float(w[2]), float(w[3]), float(w[4])])
+            parent_names.append(w[5])
+    idx = {n: i for i, n in enumerate(names)}
+    parents = np.array([idx.get(p, -1) if p != "None" else -1 for p in parent_names], int)
+    return Rig(names=names, pos=np.asarray(pos, float), parents=parents)

@@ -101,3 +101,45 @@ class FPModule(nn.Module):
             up, mask_skip, train
         )
         return out, pos_skip, mask_skip
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (models/basic_modules.py:88-113,
+    unused by the shipped reference models but part of the surface): one FPS
+    downsample shared across several (radius, mlp) scales, features
+    concatenated."""
+
+    num_out: int
+    radii: Sequence[float]
+    mlp_channels_list: Sequence[Sequence[int]]
+    max_neighbors_list: Sequence[int]
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pos, mask, train: bool = False, start=None):
+        B = pos.shape[0]
+        if start is None:
+            start = jnp.zeros((B,), jnp.int32)
+        idx = jax.vmap(lambda p, m, s: nbk.fps(p, self.num_out, m, s))(pos, mask, start)
+        new_pos = jnp.take_along_axis(pos, idx[..., None], axis=1)
+        new_mask = jnp.take_along_axis(mask, idx, axis=1)
+        feats = []
+        for s, (r, chans, max_nn) in enumerate(
+            zip(self.radii, self.mlp_channels_list, self.max_neighbors_list)
+        ):
+            grp_idx, grp_valid = jax.vmap(
+                lambda c, p, m, r=r, max_nn=max_nn: nbk.radius_group(c, p, r, max_nn, m)
+            )(new_pos, pos, mask)
+            p_j = jax.vmap(lambda p, g: p[g])(pos, grp_idx)
+            rel = p_j - new_pos[:, :, None, :]
+            if x is None:
+                feat_in = rel
+            else:
+                x_j = jax.vmap(lambda f, g: f[g])(x, grp_idx)
+                feat_in = jnp.concatenate([x_j, rel], axis=-1)
+            grp_valid = grp_valid & new_mask[:, :, None]
+            msg = MLP(list(chans), axis_name=self.axis_name, name=f"conv_{s}")(
+                feat_in, grp_valid, train
+            )
+            feats.append(nbk.masked_max(msg, grp_valid, axis=2))
+        return jnp.concatenate(feats, axis=-1), new_pos, new_mask
