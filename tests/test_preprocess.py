@@ -68,3 +68,27 @@ def test_volumetric_geodesic_bfs_orders_bones():
     top = int(np.argmax(cap.verts[:, 1]))
     assert d[bot, 0] < d[bot, 1]
     assert d[top, 1] < d[top, 0]
+
+
+def test_rcm_restores_windowed_kernel_locality():
+    """Scrambled meshes fail the windowed-kernel precondition; RCM reorder
+    restores it (kernels/edge_fused.py)."""
+    from morig_tpu.core.batch import build_mesh
+    from morig_tpu.data.preprocess import apply_vertex_order, rcm_vertex_order
+    from morig_tpu.kernels.edge_fused import check_neighbor_locality
+
+    rng = np.random.default_rng(0)
+    cap = make_capsule_rig(37, 36)
+    perm = rng.permutation(len(cap.verts))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    v2, tpl2, geo2 = cap.verts[perm], inv[cap.tpl_edges], inv[cap.geo_edges]
+    e = build_mesh(v2, tpl2, geo2, 2048)
+    assert not check_neighbor_locality(e["tpl_nbr"][None])
+
+    order = rcm_vertex_order(len(v2), tpl2, geo2)
+    v3, tpl3, geo3, v2back = apply_vertex_order(order, v2, tpl2, geo2, v2)
+    np.testing.assert_allclose(v3, v2back)
+    e3 = build_mesh(v3, tpl3, geo3, 2048)
+    assert check_neighbor_locality(e3["tpl_nbr"][None])
+    assert check_neighbor_locality(e3["geo_nbr"][None])
