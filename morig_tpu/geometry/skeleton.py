@@ -161,6 +161,11 @@ def get_bones(rig: Rig):
                     bones.append(np.concatenate([rig.pos[c], rig.pos[c]]))
                     names.append((rig.names[c], rig.names[c] + "_leaf"))
                     isleaf.append(True)
+    if not bones:  # degenerate single-joint skeleton: one virtual leaf bone
+        r = rig.root_id
+        bones.append(np.concatenate([rig.pos[r], rig.pos[r]]))
+        names.append((rig.names[r], rig.names[r] + "_leaf"))
+        isleaf.append(True)
     return np.stack(bones), names, np.asarray(isleaf)
 
 

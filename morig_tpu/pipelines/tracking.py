@@ -147,3 +147,67 @@ class Tracker:
             vis_out.append(track.vismask)
             quat_out.append(track.quats)
         return (np.stack(verts_out, 1), np.stack(vis_out, 1), np.stack(quat_out, 1))
+
+
+def make_scanned_tracker(tracker: Tracker):
+    """Whole-sequence tracking as one `lax.scan` program.
+
+    The per-frame Python loop costs three device dispatches per frame; this
+    compiles the full (DeformNet -> IK1 -> gate -> IK2) chain once and scans
+    it over the frame axis — the SURVEY.md §7 design move 3 for tracking.
+    Returns run(vtx0 (nv,3), pts_traj (P,T,3)) -> (traj (nv,T-1,3),
+    vismasks (nv,T-1), quats (J,T-1,4)).
+    """
+    import jax
+
+    nv = tracker.num_valid
+    pad = tracker.mesh_entry["verts"].shape[0]
+    mesh_proto = B.stack_meshes([tracker.mesh_entry])
+
+    def flow_fn(verts, pts):
+        verts_p = jnp.concatenate(
+            [verts, jnp.zeros((pad - nv, 3), jnp.float32)], axis=0)
+        mesh = dataclasses.replace(mesh_proto, verts=verts_p[None])
+        points = B.PointBatch(pts[None], jnp.ones((1, pts.shape[0]), bool))
+        empty_idx = jnp.zeros((1, 1, 2), jnp.int32)
+        empty_mask = jnp.zeros((1, 1), bool)
+        sample = B.PoseSample(
+            mesh=mesh, points=points,
+            corr=B.CorrBatch(empty_idx, empty_mask, empty_idx, empty_mask),
+            vismask=jnp.zeros(mesh.vert_mask.shape), gt_flow=jnp.zeros(mesh.verts.shape),
+        )
+        pred_flow, vtx_f, pts_f, vis, _ = tracker.stage.infer(tracker.state, sample)
+        return pred_flow[0, :nv], vtx_f[0], pts_f[0], vis[0, :nv]
+
+    def step(verts, pts):
+        pred_flow, vtx_f, pts_f, vis_v = flow_fn(verts, pts)
+        vert_shift = verts + pred_flow
+        locals1, G1, q1 = tracker.solver1(
+            tracker.eye, tracker.offsets, tracker.vert_local0, tracker.skins,
+            jnp.arange(nv), vert_shift, vis_v,
+        )
+        posed1 = lbs_from_local(G1, q1, tracker.vert_local0, tracker.skins)
+        best_v, w = tracker._corr_filter(vtx_f, pts_f, posed1, pts, vis_v)
+        vert_local1 = verts_to_local(G1, q1, posed1)
+        locals2, G2, q2 = tracker.solver2(
+            locals1, tracker.offsets, vert_local1, tracker.skins,
+            best_v, pts, w,
+        )
+        posed2 = lbs_from_local(G2, q2, vert_local1, tracker.skins)
+        quats = matrix_to_quaternion(locals2)
+        return posed2, (posed2, vis_v, quats)
+
+    @jax.jit
+    def run(vtx0, pts_seq):
+        # pts_seq: (T-1, P, 3) frames 1..T-1
+        final, (traj, vis, quats) = jax.lax.scan(step, vtx0, pts_seq)
+        return traj, vis, quats
+
+    def run_host(vtx0, pts_traj):
+        pts_seq = jnp.asarray(np.transpose(pts_traj[:, 1:, :], (1, 0, 2)), jnp.float32)
+        traj, vis, quats = run(jnp.asarray(vtx0, jnp.float32), pts_seq)
+        return (np.transpose(np.asarray(traj), (1, 0, 2)),
+                np.transpose(np.asarray(vis), (1, 0)),
+                np.transpose(np.asarray(quats), (1, 0, 2)))
+
+    return run_host
