@@ -99,7 +99,7 @@ class BoneNet(nn.Module):
         ], axis=-1)
         h = MLP([128, 64], axis_name=an, name="mix_transform")(mixed, None, train)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.Dense(1, name="out")(h)
+        return nn.Dense(1, kernel_init=nn.initializers.zeros, name="out")(h)
 
 
 class RootNet(nn.Module):
@@ -126,4 +126,5 @@ class RootNet(nn.Module):
         per_joint = jnp.concatenate([
             jnp.broadcast_to(shape_code[:, None, :], (B, J, shape_code.shape[-1])), f1
         ], axis=-1)
-        return MLPHead([200, 64], 1, axis_name=an, name="back_layers")(per_joint, joints_mask, train)
+        return MLPHead([200, 64], 1, zero_init=True, axis_name=an,
+                       name="back_layers")(per_joint, joints_mask, train)

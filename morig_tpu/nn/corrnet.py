@@ -135,7 +135,8 @@ class CorrNet(nn.Module):
             nn_feat = jax.vmap(lambda f, i: f[i])(pts_f, nn_idx)
             nn_sim = jnp.sum(vtx_f * nn_feat, axis=-1, keepdims=True)
             combined = jnp.concatenate([vtx_f, nn_feat, nn_sim], axis=-1)
-            vis_logits = MLPHead([256, 128, 64], 1, axis_name=self.axis_name, name="lin_vismask")(
+            vis_logits = MLPHead([256, 128, 64], 1, zero_init=True,
+                                 axis_name=self.axis_name, name="lin_vismask")(
                 combined, mesh.vert_mask, train
             )
         return vtx_f, pts_f, vis_logits, tau

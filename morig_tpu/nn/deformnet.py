@@ -45,9 +45,8 @@ class GCNDeform(nn.Module):
         glb = nbk.masked_max(x4, mesh.vert_mask, axis=1)
         glb = jnp.broadcast_to(glb[:, None, :], x4.shape[:2] + (glb.shape[-1],))
         x5 = jnp.concatenate([glb, pos, feature, skips], axis=-1)
-        return MLPHead([1024, 256], self.chn_output, axis_name=an, name="mlp_transform")(
-            x5, mesh.vert_mask, train
-        )
+        return MLPHead([1024, 256], self.chn_output, zero_init=True, axis_name=an,
+                       name="mlp_transform")(x5, mesh.vert_mask, train)
 
 
 def minmax_normalize(x: jax.Array, mask: jax.Array, eps: float = 1e-8) -> jax.Array:

@@ -66,16 +66,28 @@ class MLP(nn.Module):
 
 class MLPHead(nn.Module):
     """MLP followed by a final plain Linear (the reference's
-    `Seq(MLP([...]), Lin(c, out))` pattern, e.g. corrnet.py:22,33,35)."""
+    `Seq(MLP([...]), Lin(c, out))` pattern, e.g. corrnet.py:22,33,35).
+
+    `zero_init` zero-initializes the final Linear — used by every
+    regression/logit head.  Rationale: post-ReLU LayerNorm features carry
+    coherent per-channel bias (LN normalizes across channels, not across the
+    batch), so a default-initialized head outputs O(4) values that saturate
+    downstream tanh/sigmoids before training starts; starting the head at 0
+    keeps early training in the linear regime.  (The reference's BatchNorm
+    centers per channel, which hides this.)  Embedding heads that are
+    L2-normalized downstream keep the default init.
+    """
 
     channels: Sequence[int]
     out: int
     batch_norm: bool = True
     norm: Optional[str] = None
+    zero_init: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
         x = MLP(self.channels, batch_norm=self.batch_norm, norm=self.norm,
                 axis_name=self.axis_name, name="mlp")(x, mask, train)
-        return nn.Dense(self.out, name="out")(x)
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Dense(self.out, kernel_init=init, name="out")(x)

@@ -79,9 +79,8 @@ class GCNRig(nn.Module):
         glb = nbk.masked_max(x4, mesh.vert_mask, axis=1)
         glb = jnp.broadcast_to(glb[:, None, :], x4.shape[:2] + (glb.shape[-1],))
         x5 = jnp.concatenate([glb, mesh.verts, feature, skips], axis=-1)
-        return MLPHead([1024, 256], self.chn_output, axis_name=an, name="mlp_transform")(
-            x5, mesh.vert_mask, train
-        )
+        return MLPHead([1024, 256], self.chn_output, zero_init=True, axis_name=an,
+                       name="mlp_transform")(x5, mesh.vert_mask, train)
 
 
 class MotionAggregator(nn.Module):
@@ -194,9 +193,8 @@ class SkinNetInner(nn.Module):
         x3 = GCUMotion(256, dim_pos_feat=64, axis_name=an, name="gcu3")(raw, x2, mesh, train)
         xg = jnp.broadcast_to(xg[:, None, :], x3.shape[:2] + (xg.shape[-1],))
         x4 = jnp.concatenate([x3, xg], axis=-1)
-        return MLPHead([1024, 512], self.nearest_bone, axis_name=an, name="cls_branch")(
-            x4, mesh.vert_mask, train
-        )
+        return MLPHead([1024, 512], self.nearest_bone, zero_init=True, axis_name=an,
+                       name="cls_branch")(x4, mesh.vert_mask, train)
 
 
 class SkinMotion(nn.Module):
