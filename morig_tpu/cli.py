@@ -192,6 +192,72 @@ def cmd_train(args):
         raise SystemExit(f"unknown stage {stage_name}")
 
 
+def cmd_eval(args):
+    """Offline metrics (evaluate/eval_corr.py, eval_deform.py, eval_attn.py
+    equivalents): correspondence accuracy-vs-tolerance, mean flow L2, and
+    attention precision-recall on the eval split."""
+    _setup(args)
+    import jax
+
+    from morig_tpu.data.pose import eval_frame_pair
+    from morig_tpu.eval import metrics as M
+    from morig_tpu.train import checkpoint as ckpt
+
+    ds = _pose_dataset(args)
+    src_f, tar_f = eval_frame_pair(args.sequential)
+    nf = min(m.num_frames for m in ds.models)
+    src_f, tar_f = min(src_f, nf - 2), min(tar_f, nf - 1)
+
+    if args.what == "corr":
+        from morig_tpu.train.stages import CorrPoseStage
+
+        stage = CorrPoseStage()
+        batch = ds.batch(list(range(min(len(ds), args.batch_size))), src_f, tar_f)
+        state = stage.init_state(jax.random.key(0), batch)
+        if args.resume:
+            state, _ = ckpt.load_checkpoint(state, args.resume)
+        vtx_f, pts_f, vis, tau = stage.infer(state, batch)
+        i = 0
+        vm = np.asarray(batch.mesh.vert_mask[i])
+        corr = np.asarray(batch.corr.v2p[i])[np.asarray(batch.corr.v2p_mask[i])]
+        curve = M.corr_accuracy_curve(
+            np.asarray(vtx_f[i])[vm], np.asarray(pts_f[i]), corr,
+            np.asarray(batch.points.pts[i]),
+        )
+        for tol, acc in curve.items():
+            print(f"tolerance {tol:.2f}: accuracy {acc:.4f}")
+    elif args.what == "deform":
+        from morig_tpu.train.stages import DeformPoseStage
+
+        stage = DeformPoseStage()
+        batch = ds.batch(list(range(min(len(ds), args.batch_size))), src_f, tar_f)
+        state = stage.init_state(jax.random.key(0), batch)
+        if args.resume:
+            state, _ = ckpt.load_checkpoint(state, args.resume)
+        flow, *_ = stage.infer(state, batch)
+        vm = np.asarray(batch.mesh.vert_mask)
+        err = M.mean_flow_l2(np.asarray(flow)[vm], np.asarray(batch.gt_flow)[vm])
+        print(f"mean flow L2: {err:.5f}  (reference runs: 0.06631 / 0.06352, eval_deform.py:4-5)")
+    elif args.what == "attn":
+        from morig_tpu.train.stages import RigStage
+
+        rig_ds = _rig_dataset(args)
+        stage = RigStage(arch="masknet", num_embed_sample=min(512, rig_ds.pad_verts))
+        batch = rig_ds.batch(list(range(min(len(rig_ds), args.batch_size))))
+        state = stage.init_state(jax.random.key(0), batch)
+        if args.resume:
+            state, _ = ckpt.load_checkpoint(state, args.resume)
+        _, _, logits = stage.infer(state, batch.pred_flow, batch.mesh)
+        i = 0
+        vm = np.asarray(batch.mesh.vert_mask[i])
+        pr = M.attention_pr_curve(np.asarray(logits[i, :, 0])[vm],
+                                  np.asarray(batch.attn_mask[i])[vm])
+        for t, p, r in pr:
+            print(f"threshold {t:.2f}: precision {p:.3f} recall {r:.3f}")
+    else:
+        raise SystemExit(args.what)
+
+
 def cmd_predict_rig(args):
     _setup(args)
     import jax
@@ -252,6 +318,11 @@ def main(argv=None):
     t.add_argument("--init-extractor", default="",
                    help="corr checkpoint to initialize the deform extractor")
     t.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("eval", help="offline metrics (corr/deform/attn)")
+    ev.add_argument("what", choices=["corr", "deform", "attn"])
+    _add_common(ev)
+    ev.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("predict-rig", help="full rig prediction demo")
     _add_common(p)
