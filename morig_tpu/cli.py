@@ -262,11 +262,10 @@ def cmd_predict_rig(args):
     _setup(args)
     import jax
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tests.test_pipeline_integration import make_predictor
+    from morig_tpu.pipelines.rig_predict import capsule_predictor
 
     os.makedirs(args.out, exist_ok=True)
-    predictor, pose_ds, rig_ds = make_predictor(train_steps=args.train_steps)
+    predictor, pose_ds, rig_ds = capsule_predictor(train_steps=args.train_steps)
     for i, m in enumerate(pose_ds.models):
         pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
         rig = predictor.predict_rig(rig_ds._mesh_cache[i], pts_frames)

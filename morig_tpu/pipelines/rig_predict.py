@@ -151,3 +151,54 @@ class RigPredictor:
             joints = mesh_entry["verts"][vmask].mean(0, keepdims=True)
         skel = self.predict_skel(mesh_entry, joints, vox)
         return self.predict_skin(mesh_entry, skel, flow, geo_dist)
+
+
+def capsule_predictor(train_steps: int = 12, num_embed_sample: int = 64,
+                      seed: int = 0, **fixture_kw):
+    """Assemble a RigPredictor over the synthetic capsule fixture with briefly
+    trained stages (demo/testing helper).  Returns
+    (predictor, pose_dataset, rig_dataset)."""
+    import jax
+
+    from morig_tpu.data.pose import capsule_pose_dataset
+    from morig_tpu.data.rig import capsule_rig_dataset
+    from morig_tpu.data.skeleton_data import capsule_skel_dataset
+    from morig_tpu.train.stages import (
+        BoneStage, DeformPoseStage, RigStage, RootStage, SkinStage,
+    )
+
+    kw = dict(num_points=64, n_lat=9, n_lon=8)
+    kw.update(fixture_kw)
+    pose_ds = capsule_pose_dataset(num_models=2, num_frames=6, **kw)
+    rig_ds = capsule_rig_dataset(num_models=2, **kw)
+    skel_s = capsule_skel_dataset(num_models=2, max_joints=8, **kw)
+    pose_b = pose_ds.batch([0, 1], 0, 2)
+    rig_b = rig_ds.batch([0, 1])
+
+    rng = jax.random.key(seed)
+    deform = DeformPoseStage()
+    deform_state = deform.init_state(rng, pose_b)
+    joint = RigStage(arch="jointnet", num_embed_sample=num_embed_sample)
+    joint_state = joint.init_state(rng, rig_b)
+    mask = RigStage(arch="masknet", num_embed_sample=num_embed_sample)
+    mask_state = mask.init_state(rng, rig_b)
+    skin = SkinStage(num_embed_sample=num_embed_sample)
+    skin_state = skin.init_state(rng, rig_b)
+    bone = BoneStage()
+    bone_state = bone.init_state(rng, skel_s)
+    root = RootStage()
+    root_state = root.init_state(rng, skel_s)
+
+    r = jax.random.key(seed + 1)
+    for _ in range(train_steps):
+        r, s = jax.random.split(r)
+        joint_state, _ = joint.train_step(joint_state, rig_b, s)
+        mask_state, _ = mask.train_step(mask_state, rig_b, s)
+        bone_state, _ = bone.train_step(bone_state, skel_s, s)
+        root_state, _ = root.train_step(root_state, skel_s, s)
+
+    predictor = RigPredictor(
+        deform, deform_state, joint, joint_state, mask, mask_state,
+        root, root_state, bone, bone_state, skin, skin_state,
+    )
+    return predictor, pose_ds, rig_ds

@@ -12,44 +12,9 @@ from morig_tpu.train.stages import (
 
 
 def make_predictor(train_steps: int = 12):
-    """Assemble a RigPredictor with briefly trained joint/mask/skeleton
-    stages (enough to be non-degenerate on the capsule)."""
-    from morig_tpu.pipelines.rig_predict import RigPredictor
+    from morig_tpu.pipelines.rig_predict import capsule_predictor
 
-    kw = dict(num_points=64, n_lat=9, n_lon=8)
-    pose_ds = capsule_pose_dataset(num_models=2, num_frames=6, **kw)
-    rig_ds = capsule_rig_dataset(num_models=2, **kw)
-    skel_s = capsule_skel_dataset(num_models=2, max_joints=8, **kw)
-    pose_b = pose_ds.batch([0, 1], 0, 2)
-    rig_b = rig_ds.batch([0, 1])
-
-    rng = jax.random.key(0)
-    deform = DeformPoseStage()
-    deform_state = deform.init_state(rng, pose_b)
-    joint = RigStage(arch="jointnet", num_embed_sample=64)
-    joint_state = joint.init_state(rng, rig_b)
-    mask = RigStage(arch="masknet", num_embed_sample=64)
-    mask_state = mask.init_state(rng, rig_b)
-    skin = SkinStage(num_embed_sample=64)
-    skin_state = skin.init_state(rng, rig_b)
-    bone = BoneStage()
-    bone_state = bone.init_state(rng, skel_s)
-    root = RootStage()
-    root_state = root.init_state(rng, skel_s)
-
-    r = jax.random.key(1)
-    for _ in range(train_steps):
-        r, s = jax.random.split(r)
-        joint_state, _ = joint.train_step(joint_state, rig_b, s)
-        mask_state, _ = mask.train_step(mask_state, rig_b, s)
-        bone_state, _ = bone.train_step(bone_state, skel_s, s)
-        root_state, _ = root.train_step(root_state, skel_s, s)
-
-    predictor = RigPredictor(
-        deform, deform_state, joint, joint_state, mask, mask_state,
-        root, root_state, bone, bone_state, skin, skin_state,
-    )
-    return predictor, pose_ds, rig_ds
+    return capsule_predictor(train_steps=train_steps)
 
 
 def test_rig_predict_pipeline_structural():
