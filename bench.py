@@ -21,8 +21,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, CPU ok")
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     import jax
