@@ -84,11 +84,17 @@ def multi_pos_info_nce(
         p = mask.astype(jnp.float32)
         p = p / jnp.maximum(p.sum(), 1.0)
         ids = jax.random.choice(k1, V, (num_sample,), replace=False, p=p)
+        # replace=False with num_sample > valid count overflows into
+        # zero-probability (padded) rows; track validity and mask them out
+        row_ok = mask[ids]
         f = feat[ids]                                    # (S, C)
         s = skin[ids]                                    # (S, J)
         gt_sim = (2.0 - jnp.sum(jnp.abs(s[None] - s[:, None]), axis=-1)) / 2.0
         pos_mat = (gt_sim > sim_threshold).astype(jnp.float32)
         neg_mat = 1.0 - pos_mat
+        # padded rows can be neither positives nor negatives of anyone
+        pos_mat = pos_mat * row_ok[None, :].astype(jnp.float32)
+        neg_mat = neg_mat * row_ok[None, :].astype(jnp.float32)
         # guard rows with no positives/negatives (diagonal is always positive)
         pos_p = pos_mat / jnp.maximum(pos_mat.sum(-1, keepdims=True), 1e-9)
         neg_p = neg_mat / jnp.maximum(neg_mat.sum(-1, keepdims=True), 1e-9)
@@ -109,10 +115,11 @@ def multi_pos_info_nce(
             in_axes=1, out_axes=1,
         )(prod_pos)                                      # (S, num_pos)
         ce = lse - prod_pos
-        # rows with zero negatives are degenerate; weight by negatives present
-        has_neg = neg_mat.sum(-1) > 0
-        ce = jnp.where(has_neg[:, None], ce, 0.0)
-        return jnp.sum(ce.mean(axis=1)) / jnp.maximum(has_neg.sum(), 1)
+        # degenerate rows contribute nothing: zero negatives, or a padded
+        # (invalid) anchor row sampled when num_sample > valid count
+        ok = (neg_mat.sum(-1) > 0) & row_ok
+        ce = jnp.where(ok[:, None], ce, 0.0)
+        return jnp.sum(ce.mean(axis=1)) / jnp.maximum(ok.sum(), 1)
 
     keys = jax.random.split(key, B)
     losses = jax.vmap(per_sample)(keys, feature, gt_skin, vert_mask)

@@ -116,3 +116,29 @@ def test_masked_l1_and_bce(rng):
     p = 1 / (1 + np.exp(-logits))
     per = -(targets * np.log(p) + (1 - targets) * np.log(1 - p))
     np.testing.assert_allclose(gotb, per[mask].mean(), rtol=1e-4)
+
+
+def test_multi_pos_info_nce_oversampled_padding(rng):
+    """num_sample larger than the valid vertex count must not contaminate the
+    loss with padded rows (they get sampled by the replace=False overflow)."""
+    B, V, J, C = 1, 64, 4, 8
+    skin = np.zeros((B, V, J), np.float32)
+    skin[:, :16, 0] = 1.0
+    skin[:, 16:32, 1] = 1.0  # rows 32+ are padding (all-zero skin)
+    feat = rng.normal(size=(B, V, C)).astype(np.float32)
+    feat[:, 32:] = 99.0      # poison the padded features
+    mask = np.zeros((B, V), bool)
+    mask[:, :32] = True
+    key = jax.random.key(0)
+    loss = float(multi_pos_info_nce(
+        key, jnp.asarray(feat), jnp.asarray(skin), jnp.asarray(mask),
+        num_sample=48, num_pos=4, num_neg=16,  # 48 > 32 valid rows
+    ))
+    assert np.isfinite(loss)
+    # poisoning the padding must not change the value
+    feat2 = feat.copy(); feat2[:, 32:] = -99.0
+    loss2 = float(multi_pos_info_nce(
+        key, jnp.asarray(feat2), jnp.asarray(skin), jnp.asarray(mask),
+        num_sample=48, num_pos=4, num_neg=16,
+    ))
+    np.testing.assert_allclose(loss, loss2, rtol=1e-5)
