@@ -329,6 +329,24 @@ def main(argv=None):
     p.add_argument("--train-steps", type=int, default=10)
     p.set_defaults(fn=cmd_predict_rig)
 
+    b = sub.add_parser("bench", help="rig-prediction throughput benchmark")
+    b.add_argument("--smoke", action="store_true")
+    b.add_argument("--iters", type=int, default=20)
+    b.add_argument("--batch", type=int, default=8)
+
+    def _bench(args):
+        import bench as bench_mod  # repo-root bench.py
+        import sys as _sys
+
+        argv = []
+        if args.smoke:
+            argv.append("--smoke")
+        argv += ["--iters", str(args.iters), "--batch", str(args.batch)]
+        _sys.argv = ["bench.py"] + argv
+        bench_mod.main()
+
+    b.set_defaults(fn=_bench)
+
     tr = sub.add_parser("track", help="tracking demo on the capsule")
     _add_common(tr)
     tr.add_argument("--out", default="results")
