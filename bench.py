@@ -1,28 +1,49 @@
-"""Benchmark: end-to-end rig-prediction throughput on one chip.
+"""Benchmark: honest end-to-end numbers on one chip.
 
-Measures the full corr→deform→joint→mask→skin network path plus on-device
-joint clustering at production shapes (V=2048-bucket meshes, P=1024 points,
-T=5 keyframes) — the pipeline behind BASELINE.md's north star of >= 20
-meshes/sec on one TPU v5e chip.  Host-side NMS/MST/assembly are excluded from
-the steady-state timing loop (they are per-rig O(J^2) microsecond work) but
-exercised once for correctness.
+Phase A — rig prediction throughput. RigPredictor.predict_rig_batch runs the
+FULL DAG per batch of meshes (SURVEY.md §3.5 / rig_predict.py): T=5 DeformNet
+forwards per mesh, JointNet+MaskNet, device bandwidth+mean-shift, host
+NMS+flip, RootNet/BoneNet + host Prim MST, SkinMotion + smoothing + host skin
+assembly.  The timed loop includes ALL host-side work (NMS, MST, descriptor
+packing, rig assembly) — nothing is shortcut.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Phase B — tracking. The scanned whole-sequence tracker (DeformNet flow + two
+IK stages per frame, lax.scan over 100 frames) -> tracked frames/sec/chip
+(BASELINE.md line 25).
+
+FLOPs/MFU: XLA cost_analysis over the exact lowered device programs (flow /
+joint+mask / skin / tracking scan) + an analytic mean-shift term; RootNet/
+BoneNet forwards are in the wall time but excluded from FLOPs (conservative
+MFU).  Peak defaults to 197 TF (TPU v5e bf16); override with --peak-tflops.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 `--smoke` runs tiny shapes (CI / CPU).
 """
 from __future__ import annotations
 
 import argparse
 import json
-import sys
 import time
+
+
+def _flops_of(jitted, args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, CPU ok")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--track-frames", type=int, default=101)
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip peak TFLOP/s for MFU (v5e bf16 = 197)")
     args = ap.parse_args()
 
     import jax
@@ -30,105 +51,125 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
     import numpy as np
 
     from morig_tpu.core import batch as B
     from morig_tpu.data.pose import capsule_pose_dataset
     from morig_tpu.data.rig import capsule_rig_dataset
-    from morig_tpu.geometry.clustering import estimate_bandwidth, meanshift_cluster
-    from morig_tpu.train.stages import DeformPoseStage, RigStage, SkinStage
+    from morig_tpu.data.skeleton_data import capsule_skel_dataset
+    from morig_tpu.data.synthetic import make_capsule_rig, make_capsule_sequence
+    from morig_tpu.geometry import skeleton as sk
+    from morig_tpu.geometry.voxel import voxelize_mesh
+    from morig_tpu.pipelines.rig_predict import RigPredictor
+    from morig_tpu.pipelines.tracking import Tracker, make_scanned_tracker
+    from morig_tpu.train.stages import (
+        BoneStage, DeformPoseStage, RigStage, RootStage, SkinStage,
+    )
 
     if args.smoke:
         kw = dict(num_points=64, n_lat=7, n_lon=6)
-        nf, iters, Bn = 4, 2, 2
+        iters, Bn, track_frames, vox_dims = 2, 2, 4, 16
     else:
-        kw = dict(num_points=1024, n_lat=37, n_lon=36)  # ~1.3k verts → 2048 bucket
-        nf, iters, Bn = 6, args.iters, args.batch
+        kw = dict(num_points=1024, n_lat=37, n_lon=36)   # V=1262 -> 1536 pad
+        iters, Bn, track_frames, vox_dims = args.iters, args.batch, args.track_frames, 88
 
-    pose_ds = capsule_pose_dataset(num_models=Bn, num_frames=nf, **kw)
-    rig_ds = capsule_rig_dataset(num_models=Bn, num_keyframes=5, **kw)
-    pose_batch = pose_ds.batch(list(range(Bn)), 0, min(2, nf - 1))
-    rig_batch = rig_ds.batch(list(range(Bn)))
+    T = 5
+    pose_ds = capsule_pose_dataset(num_models=Bn, num_frames=T + 1, **kw)
+    V_raw = pose_ds.models[0].vtx_traj.shape[0]
+    PAD = max(256, ((V_raw + 255) // 256) * 256)     # pallas tile multiple
+
+    entries = [
+        B.build_mesh(m.vtx_traj[:, 0, :], m.tpl_edges, m.geo_edges, pad_verts=PAD)
+        for m in pose_ds.models
+    ]
+    pts_frames_list = [
+        np.transpose(m.pts_traj[:, 1:T + 1, :], (1, 0, 2)) for m in pose_ds.models
+    ]
+    cap = make_capsule_rig(kw["n_lat"], kw["n_lon"])
+    vox = voxelize_mesh(cap.verts, cap.faces, dims=vox_dims)
+    voxes = [vox] * Bn
 
     if not args.smoke:
-        # fused Pallas edge kernel; halo-window gather when the mesh ordering
-        # is coherent (kernels/edge_fused.py)
         from morig_tpu.kernels.edge_fused import check_neighbor_locality
         from morig_tpu.nn import gcu
 
         local = all(
-            check_neighbor_locality(np.asarray(t))
-            for t in (rig_batch.mesh.tpl_nbr, rig_batch.mesh.geo_nbr,
-                      pose_batch.mesh.tpl_nbr, pose_batch.mesh.geo_nbr)
+            check_neighbor_locality(np.asarray(e[k]))
+            for e in entries for k in ("tpl_nbr", "geo_nbr")
         )
         gcu.set_edge_impl("windowed" if local else "fused")
 
+    # states: parameters are shape-independent; init on a small fixture
+    init_kw = dict(num_points=64, n_lat=9, n_lon=8)
+    pose_b = capsule_pose_dataset(num_models=2, num_frames=4, **init_kw).batch([0, 1], 0, 2)
+    rig_b = capsule_rig_dataset(num_models=2, **init_kw).batch([0, 1])
+    skel_s = capsule_skel_dataset(num_models=2, max_joints=8, **init_kw)
+
     rng = jax.random.key(0)
     deform = DeformPoseStage()
-    deform_state = deform.init_state(rng, pose_batch)
     joint = RigStage(arch="jointnet", num_embed_sample=128)
-    joint_state = joint.init_state(rng, rig_batch)
     mask = RigStage(arch="masknet", num_embed_sample=128)
-    mask_state = mask.init_state(rng, rig_batch)
     skin = SkinStage(num_embed_sample=128)
-    skin_state = skin.init_state(rng, rig_batch)
+    bone = BoneStage()
+    root = RootStage()
+    predictor = RigPredictor(
+        deform, deform.init_state(rng, pose_b),
+        joint, joint.init_state(rng, rig_b),
+        mask, mask.init_state(rng, rig_b),
+        root, root.init_state(rng, skel_s),
+        bone, bone.init_state(rng, skel_s),
+        skin, skin.init_state(rng, rig_b),
+    )
 
-    T = 5
-    mesh = rig_batch.mesh
-    flow_dim = rig_batch.gt_flow
-
-    @jax.jit
-    def pipeline_step(dstate_params, dstate_stats, jparams, jstats, mparams, mstats,
-                      sparams, sstats, pose, rig):
-        # deform: flow for one keyframe pair per mesh (the hot forward; the
-        # T-keyframe variant is T sequential calls of this program)
-        pred_flow, *_ = deform.model.apply(
-            {"params": dstate_params, "batch_stats": dstate_stats},
-            pose.mesh, pose.points, False, None)
-        flow5 = jnp.tile(pred_flow, (1, 1, T))
-        _, _, shift = joint.model.apply(
-            {"params": jparams, "batch_stats": jstats}, flow5, rig.mesh, False)
-        _, _, attn = mask.model.apply(
-            {"params": mparams, "batch_stats": mstats}, flow5, rig.mesh, False)
-        _, _, skin_logits = skin.model.apply(
-            {"params": sparams, "batch_stats": sstats},
-            rig.skin_input, flow5, rig.mesh, False)
-        shifted = rig.mesh.verts + jnp.tanh(shift)
-        attn_p = jax.nn.sigmoid(attn[..., 0])
-
-        def cluster_one(pts, w, m):
-            bw = estimate_bandwidth(pts, m, quantile=0.04)
-            return meanshift_cluster(pts, bw, w, m, num_iter=30)
-
-        modes = jax.vmap(cluster_one)(shifted, attn_p, rig.mesh.vert_mask)
-        return modes, attn_p, jax.nn.softmax(skin_logits, axis=-1)
-
-    def run_once():
-        return pipeline_step(
-            deform_state.params, deform_state.batch_stats,
-            joint_state.params, joint_state.batch_stats,
-            mask_state.params, mask_state.batch_stats,
-            skin_state.params, skin_state.batch_stats,
-            pose_batch, rig_batch,
-        )
-
-    out = run_once()  # compile
-    _ = np.asarray(out[0])
-    # steady-state throughput: enqueue all iterations, drain at the end
-    # (per-call host sync is dispatch overhead, not device time)
+    # ---- phase A: full-DAG rig prediction ----
+    rigs = predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes)  # compile
+    assert len(rigs) == Bn and all(r.skins is not None for r in rigs)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run_once()
-    _ = np.asarray(out[0])
+        rigs = predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes)
     dt = (time.perf_counter() - t0) / iters
     meshes_per_sec = Bn / dt
+
+    # FLOPs of the exact device programs executed per iteration
+    flops_iter = sum(
+        _flops_of(w.jitted, predictor._last_args[name])
+        for name, w in predictor._jit_cache.items()
+    )
+    # analytic mean-shift + bandwidth term: (2V)^2 kernel per iteration
+    N2 = 2 * PAD
+    flops_iter += Bn * (30 * (N2 * N2 * 8) + N2 * N2 * 3)
+    flops_per_mesh = flops_iter / Bn
+    mfu_rig = flops_iter / dt / (args.peak_tflops * 1e12)
+
+    # ---- phase B: tracking ----
+    seq = make_capsule_sequence(num_frames=track_frames, max_bend=0.5,
+                                partial=False, seed=5, **kw)
+    track_rig = sk.Rig(names=list(cap.names), pos=cap.joints.astype(float),
+                       parents=cap.parents, skins=cap.skins)
+    entry = B.build_mesh(cap.verts, seq["tpl_edges"], seq["geo_edges"], PAD)
+    tracker = Tracker(deform, predictor.deform_state, track_rig, entry)
+    run_scanned = make_scanned_tracker(tracker)
+    traj, _, _ = run_scanned(cap.verts, seq["pts_traj"])      # compile
+    t0 = time.perf_counter()
+    traj, _, _ = run_scanned(cap.verts, seq["pts_traj"])
+    dt_track = time.perf_counter() - t0
+    frames = traj.shape[1]
+    frames_per_sec = frames / dt_track
+    track_flops = _flops_of(run_scanned.jitted, run_scanned.last_args)
+    mfu_track = track_flops / dt_track / (args.peak_tflops * 1e12)
 
     result = {
         "metric": "rig_predict_throughput",
         "value": round(meshes_per_sec, 3),
         "unit": "meshes/sec",
         "vs_baseline": round(meshes_per_sec / 20.0, 3),
+        "tracked_frames_per_sec": round(frames_per_sec, 2),
+        "flops_per_mesh": round(flops_per_mesh / 1e9, 3),  # GFLOPs
+        "mfu_rig_pct": round(100 * mfu_rig, 2),
+        "mfu_track_pct": round(100 * mfu_track, 2),
+        "batch": Bn,
+        "verts_padded": PAD,
+        "keyframes": T,
     }
     print(json.dumps(result))
 

@@ -32,6 +32,12 @@ def _add_common(p):
     p.add_argument("--resume", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-models", type=int, default=2, help="capsule fixture size")
+    p.add_argument("--fixture-points", type=int, default=None,
+                   help="capsule fixture point-cloud size (default 1024)")
+    p.add_argument("--fixture-lat", type=int, default=None,
+                   help="capsule fixture latitude rings (default 17)")
+    p.add_argument("--fixture-lon", type=int, default=None,
+                   help="capsule fixture longitude segments (default 16)")
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
 
 
@@ -42,12 +48,24 @@ def _setup(args):
         jax.config.update("jax_platforms", args.platform)
 
 
+def _fixture_kw(args):
+    kw = {}
+    if getattr(args, "fixture_points", None):
+        kw["num_points"] = args.fixture_points
+    if getattr(args, "fixture_lat", None):
+        kw["n_lat"] = args.fixture_lat
+    if getattr(args, "fixture_lon", None):
+        kw["n_lon"] = args.fixture_lon
+    return kw
+
+
 def _pose_dataset(args, shape: bool = False):
     from morig_tpu.data.pose import PoseDataset, capsule_pose_dataset
 
     if args.data == "capsule":
         nf = 2 if shape else 6
-        return capsule_pose_dataset(num_models=args.num_models, num_frames=nf)
+        return capsule_pose_dataset(num_models=args.num_models, num_frames=nf,
+                                    **_fixture_kw(args))
     if shape:
         from morig_tpu.data.loaders import load_shape_models
 
@@ -61,7 +79,7 @@ def _rig_dataset(args):
     from morig_tpu.data.rig import RigDataset, capsule_rig_dataset
 
     if args.data == "capsule":
-        return capsule_rig_dataset(num_models=args.num_models)
+        return capsule_rig_dataset(num_models=args.num_models, **_fixture_kw(args))
     from morig_tpu.data.loaders import load_rig_models
 
     return RigDataset(load_rig_models(args.data))

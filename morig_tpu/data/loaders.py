@@ -82,9 +82,15 @@ def load_pose_models(folder: str, kind: str = "modelsresource",
 
 
 def parse_skin_file(path: str, num_nearest_bone: int = 20):
-    """Parse the reference's *_skin.txt (dataset_rig.py:31-76 format):
-    'bones <pname> <cname> <6 floats>', per-vertex 'bind' rows of
-    (bone_id, 1/dist, isleaf) triples, and 'influence' soft labels.
+    """Parse the reference's *_skin.txt, written by gen_skin_data.py:119-136:
+    'bones <pname> <cname> <6 floats>' rows, then per-vertex
+    'bind <vid> (<bone_id> <1/dist> <isleaf>)*K' rows, then per-vertex
+    'influence <K floats>' soft-label rows.
+
+    Semantics pinned to dataset_rig.py:31-76 (load_skin): slot i reads
+    words[3i+1 .. 3i+3] (the leading field is the vertex id); a -1 bone id
+    marks a missing slot, which repeats slot 0's bone/1-dist/isleaf with
+    loss_mask 0.
 
     Returns (skin_input (V,K*8), skin_nn (V,K), skin_label (V,K),
     loss_mask (V,K), bone_names)."""
@@ -100,17 +106,17 @@ def parse_skin_file(path: str, num_nearest_bone: int = 20):
                 bone_names.append((w[1], w[2]))
                 bones.append([float(x) for x in w[3:]])
             elif w[0] == "bind":
-                vals = [float(x) for x in w[1:]]
+                vals = [float(x) for x in w[1:]]   # [vid, (bid, invd, leaf)*K]
                 row, ids, mask = [], [], []
                 for i in range(num_nearest_bone):
-                    bid = int(vals[3 * i])
-                    if bid == -1:           # missing slot: repeat the first
-                        bid0 = int(vals[0])
-                        row += bones[bid0] + [vals[1], vals[2]]
+                    bid = int(vals[3 * i + 1])
+                    if bid == -1:           # missing slot: repeat slot 0
+                        bid0 = max(int(vals[1]), 0)  # guard a fully-empty row
+                        row += bones[bid0] + [vals[2], vals[3]]
                         ids.append(bid0)
                         mask.append(0)
                     else:
-                        row += bones[bid] + [vals[3 * i + 1], vals[3 * i + 2]]
+                        row += bones[bid] + [vals[3 * i + 2], vals[3 * i + 3]]
                         ids.append(bid)
                         mask.append(1)
                 inputs.append(row)

@@ -35,10 +35,13 @@ def estimate_bandwidth(pts: jax.Array, mask: jax.Array | None = None,
     knn = jnp.maximum(1, (n_valid * quantile).astype(jnp.int32))
     d2 = pairwise_sqdist(pts, pts)
     d2 = jnp.where(mask[None, :], d2, 1e30)
-    # distance to the knn-th neighbor: sort each row, pick index knn-1
-    d_sorted = jnp.sort(d2, axis=1)
+    # distance to the knn-th neighbor: knn <= k_max (the all-valid count), so a
+    # static top-k of the k_max smallest per row replaces a full-row sort
+    k_max = max(1, int(n * quantile))
+    neg_topk, _ = jax.lax.top_k(-d2, k_max)   # (n, k_max), ascending distances
+    d_small = -neg_topk
     kth = jnp.sqrt(jnp.maximum(jnp.take_along_axis(
-        d_sorted, jnp.full((n, 1), knn - 1), axis=1)[:, 0], 0.0))
+        d_small, jnp.full((n, 1), knn - 1), axis=1)[:, 0], 0.0))
     m = mask.astype(kth.dtype)
     return jnp.sum(kth * m) / jnp.maximum(m.sum(), 1.0)
 
@@ -130,6 +133,81 @@ def flip_joints(joints: np.ndarray, tol: float = 2e-2) -> tuple[np.ndarray, np.n
         -np.ones(len(left)), np.zeros(len(middle)), np.ones(len(right))
     ])
     return out, side
+
+
+@partial(jax.jit, static_argnames=("quantile", "num_iter"))
+def _cluster_static(pts: jax.Array, attn: jax.Array, mask: jax.Array,
+                    quantile: float, num_iter: int):
+    """Masked bandwidth + mean-shift at a static shape (vmappable)."""
+    bw = estimate_bandwidth(pts, mask, quantile=quantile)
+    moved = meanshift_cluster(pts, bw, attn, mask, num_iter=num_iter)
+    return moved, bw
+
+
+@partial(jax.jit, static_argnames=("quantile", "num_iter"))
+def _cluster_static_batch(pts, attn, mask, quantile, num_iter):
+    return jax.vmap(lambda p, a, m: _cluster_static(p, a, m, quantile, num_iter))(
+        pts, attn, mask)
+
+
+def extract_joints_batch(
+    shifted: np.ndarray,          # (B, V, 3)
+    attn: np.ndarray,             # (B, V)
+    valid_mask: np.ndarray,       # (B, V)
+    inside_fns=None,              # optional per-mesh point-containment fns
+    bandwidth_quantile: float = 0.04,
+    attn_keep_threshold: float = 0.1,
+    density_threshold: float = 0.02,
+    attn_nms_threshold: float = 0.7,
+    meanshift_iters: int = 30,
+    symmetrize: bool = True,
+) -> list:
+    """Batched static-shape variant of extract_joints: the padded batch goes
+    through ONE jitted bandwidth+mean-shift program (selection as masks, no
+    boolean indexing — every mesh costs the same (2V)² program), then host
+    NMS/flip per mesh.  Semantics match extract_joints: masked-out points
+    neither attract nor count."""
+    Bn, V = attn.shape[0], attn.shape[1]
+    shifted = np.asarray(shifted, np.float32)
+    attn = np.asarray(attn, np.float64)
+    sel = np.asarray(valid_mask, bool).copy()
+    attn_n = np.zeros_like(attn)
+    for i in range(Bn):
+        a = attn[i]
+        v = sel[i]
+        if v.any():
+            lo, hi = a[v].min(), a[v].max()
+            attn_n[i] = (a - lo) / (hi - lo) if hi - lo > 1e-10 else a
+        if inside_fns is not None and inside_fns[i] is not None:
+            sel[i] &= np.asarray(inside_fns[i](shifted[i]), bool)
+        sel[i] &= attn_n[i] > attn_keep_threshold
+
+    if symmetrize:
+        mirror = shifted * np.array([[[-1.0, 1.0, 1.0]]], np.float32)
+        pts2 = np.concatenate([shifted, mirror], axis=1)          # (B, 2V, 3)
+        attn2 = np.concatenate([attn_n, attn_n], axis=1)
+        sel2 = np.concatenate([sel, sel], axis=1)
+    else:
+        pts2, attn2, sel2 = shifted, attn_n, sel
+
+    moved, bws = _cluster_static_batch(
+        jnp.asarray(pts2), jnp.asarray(attn2, jnp.float32), jnp.asarray(sel2),
+        bandwidth_quantile, meanshift_iters)
+    moved = np.asarray(moved)
+    bws = np.asarray(bws)
+
+    out = []
+    for i in range(Bn):
+        m = sel2[i]
+        if not m.any():
+            out.append(np.zeros((0, 3), np.float32))
+            continue
+        modes = nms_modes(moved[i][m], attn2[i][m], float(bws[i]),
+                          density_threshold, attn_nms_threshold)
+        if symmetrize:
+            modes, _ = flip_joints(modes)
+        out.append(modes)
+    return out
 
 
 def extract_joints(

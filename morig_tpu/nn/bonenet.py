@@ -8,7 +8,8 @@ as root from the shape code + a per-joint PointNet++ encoder/decoder over the
 joint set (with |x| as the input feature — distance to the symmetry plane).
 
 The reference ships no training script for these (SURVEY.md §2.5); training
-stages live in train/stages_skeleton.py following the RigNet recipe.
+stages live in train/stages.py (BoneStage/RootStage) following the RigNet
+recipe.
 """
 from __future__ import annotations
 

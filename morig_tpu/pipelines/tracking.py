@@ -205,9 +205,12 @@ def make_scanned_tracker(tracker: Tracker):
 
     def run_host(vtx0, pts_traj):
         pts_seq = jnp.asarray(np.transpose(pts_traj[:, 1:, :], (1, 0, 2)), jnp.float32)
-        traj, vis, quats = run(jnp.asarray(vtx0, jnp.float32), pts_seq)
+        v0 = jnp.asarray(vtx0, jnp.float32)
+        run_host.last_args = (v0, pts_seq)   # for FLOPs lowering (bench.py)
+        traj, vis, quats = run(v0, pts_seq)
         return (np.transpose(np.asarray(traj), (1, 0, 2)),
                 np.transpose(np.asarray(vis), (1, 0)),
                 np.transpose(np.asarray(quats), (1, 0, 2)))
 
+    run_host.jitted = run
     return run_host

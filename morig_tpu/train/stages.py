@@ -193,6 +193,19 @@ class DeformPoseStage:
         metrics["total_loss"] = total
         return total, metrics
 
+    def _keep_frozen_stats(self, old_stats, new_stats):
+        """With the extractor frozen, its BN running stats must not drift
+        either — the reference loads a frozen checkpoint whose buffers never
+        change (train_deform_pose.py:150-153).  Restore the corr_extractor
+        subtree of batch_stats from the pre-step state."""
+        if self.train_extractor:
+            return new_stats
+        if "corr_extractor" not in dict(new_stats):
+            return new_stats  # e.g. LayerNorm config with no BN stats
+        merged = dict(new_stats)
+        merged["corr_extractor"] = old_stats["corr_extractor"]
+        return merged
+
     def _get_step(self, kind: str):
         if kind in self._steps:
             return self._steps[kind]
@@ -208,7 +221,8 @@ class DeformPoseStage:
                     return total, (metrics, upd)
 
                 (_, (metrics, upd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-                state = state.apply_gradients(grads, upd["batch_stats"])
+                new_stats = self._keep_frozen_stats(state.batch_stats, upd["batch_stats"])
+                state = state.apply_gradients(grads, new_stats)
                 return state, metrics
             fn = jax.jit(step, donate_argnums=(0,))
         else:

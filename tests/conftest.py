@@ -27,3 +27,12 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: everything not marked `slow` gets `fast`, so
+    `pytest -m fast` is the every-commit tier and `-m slow` the
+    training/integration tier."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

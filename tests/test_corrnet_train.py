@@ -10,6 +10,8 @@ from morig_tpu.train.stages import CorrPoseStage
 from morig_tpu.core.config import Config, TrainConfig, DEFAULT_CONFIG
 import dataclasses
 
+pytestmark = pytest.mark.slow
+
 
 def small_dataset():
     return capsule_pose_dataset(num_models=2, num_frames=6, num_points=128, n_lat=9, n_lon=8)

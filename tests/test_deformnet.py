@@ -2,9 +2,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morig_tpu.data.pose import capsule_pose_dataset
 from morig_tpu.train.stages import CorrPoseStage, DeformPoseStage
+
+pytestmark = pytest.mark.slow
 
 
 def small_dataset():

@@ -12,6 +12,8 @@ from morig_tpu.parallel.sharding import (
     make_device_mesh, replicate, shard_batch, shard_params_tp, shard_state,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def devices_ok():
@@ -74,3 +76,24 @@ def test_graft_dryrun(devices_ok):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_graft_dryrun_cold_subprocess():
+    """dryrun_multichip must self-provision from an environment WITHOUT the
+    virtual-device flags — the driver calls it on a 1-chip host (round-1
+    MULTICHIP failure mode)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_MORIG_DRYRUN_CHILD")}
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "train_step ok" in proc.stdout

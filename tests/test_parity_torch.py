@@ -1,0 +1,298 @@
+"""Golden parity tests: flax "batch"-norm mode vs a plain-torch oracle of the
+reference numerics, through the real checkpoint-import path
+(morig_tpu.eval.torch_import).
+
+Each test builds a torch module with the reference's state_dict key layout,
+randomizes its weights *and* BN running statistics, maps the state_dict into
+flax params, and asserts eval-mode forward parity <= 1e-4 (fp32, CPU).
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from morig_tpu.core.batch import build_mesh, stack_meshes
+from morig_tpu.data.synthetic import geo_edges_knn, tpl_edges_from_faces, uv_capsule
+from morig_tpu.eval import torch_import as ti
+from morig_tpu.losses.nce import info_nce
+from morig_tpu.nn import mlp as mlpmod
+from morig_tpu.nn.corrnet import MeshEncoder
+from morig_tpu.nn.gcu import GCU, GCUMotion
+from morig_tpu.nn.mlp import MLP
+
+pytestmark = pytest.mark.slow
+
+from tests.torch_oracle import (
+    GCUMotionOracle,
+    GCUOracle,
+    MeshEncoderOracle,
+    info_nce_oracle,
+    mlp,
+    randomize_bn_stats,
+)
+
+
+@pytest.fixture
+def batch_norm_mode():
+    prev = mlpmod.get_default_norm()
+    mlpmod.set_default_norm("batch")
+    yield
+    mlpmod.set_default_norm(prev)
+
+
+def _gen(seed=0):
+    g = torch.Generator().manual_seed(seed)
+    return g
+
+
+def _capsule_graph(n_lat=9, n_lon=8):
+    verts, faces = uv_capsule(n_lat=n_lat, n_lon=n_lon)
+    tpl = tpl_edges_from_faces(faces)
+    geo = geo_edges_knn(verts, k=6)
+    return verts.astype(np.float32), tpl, geo
+
+
+def _mesh_batch(verts, tpl, geo, max_deg=24):
+    # exact-size padding: every vertex valid, so masked ops equal dense ops
+    entry = build_mesh(verts, tpl, geo, pad_verts=len(verts),
+                       tpl_max_degree=max_deg, geo_max_degree=max_deg)
+    # parity requires the table to be lossless: no neighbor may be dropped
+    for edges, nbr_mask in ((tpl, entry["tpl_mask"]), (geo, entry["geo_mask"])):
+        deg = np.zeros(len(verts), np.int64)
+        e = np.asarray(edges).reshape(-1, 2)
+        e = e[e[:, 0] != e[:, 1]]
+        both = np.unique(np.concatenate([e, e[:, ::-1]], 0), axis=0)
+        np.add.at(deg, both[:, 0], 1)
+        assert deg.max() + 1 <= max_deg, f"degree {deg.max()} overflows table"
+    return stack_meshes([entry])
+
+
+def _load_variables(model, example_args, imported_params, imported_stats, rng_seed=0):
+    """Init for structure, then restore imported values — from_state_dict
+    raises if the importer missed (or misnamed) any leaf."""
+    variables = model.init(jax.random.key(rng_seed), *example_args)
+    target = {"params": variables["params"],
+              "batch_stats": variables.get("batch_stats", {})}
+    restored = serialization.from_state_dict(
+        target, {"params": imported_params, "batch_stats": imported_stats})
+    return restored
+
+
+def test_mlp_parity(batch_norm_mode):
+    g = _gen(1)
+    tm = mlp([8, 32, 16])
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    x = torch.randn(100, 8, generator=g)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    params, stats = ti.import_mlp(ti.state_dict_to_numpy(tm.state_dict()), "")
+    fm = MLP([32, 16])
+    variables = _load_variables(fm, (jnp.zeros((100, 8)), None, False), params, stats)
+    out = fm.apply(variables, jnp.asarray(x.numpy()), None, False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_mlp_train_step_stats_parity(batch_norm_mode):
+    """Train-mode BN: normalized output AND running-stat updates must match
+    torch momentum semantics (new = 0.9*old + 0.1*batch, unbiased var)."""
+    import copy
+
+    g = _gen(2)
+    tm = mlp([8, 16])
+    randomize_bn_stats(tm, g)
+    sd_before = ti.state_dict_to_numpy(copy.deepcopy(tm.state_dict()))
+    tm.train()
+    x = torch.randn(64, 8, generator=g)
+    ref = tm(x).detach().numpy()
+    ref_mean = tm[0][2].running_mean.numpy().copy()
+    ref_var = tm[0][2].running_var.numpy().copy()
+
+    params, stats = ti.import_mlp(sd_before, "")
+    fm = MLP([16])
+    variables = _load_variables(fm, (jnp.zeros((64, 8)), None, False), params, stats)
+    out, upd = fm.apply(variables, jnp.asarray(x.numpy()), None, True,
+                        mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["bn_0"]["mean"]),
+                               ref_mean, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["bn_0"]["var"]),
+                               ref_var, atol=1e-5, rtol=1e-4)
+
+
+def test_gcu_parity(batch_norm_mode):
+    g = _gen(3)
+    verts, tpl, geo = _capsule_graph()
+    V = len(verts)
+    tm = GCUOracle(3, 32)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    x = torch.tensor(verts)
+    with torch.no_grad():
+        ref = tm(x, torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+
+    params, stats = ti.import_gcu(ti.state_dict_to_numpy(tm.state_dict()), "")
+    # import_gcu assumes a prefix; empty prefix yields keys like ".edge_conv_tpl..."
+    mesh = _mesh_batch(verts, tpl, geo)
+    fm = GCU(32)
+    variables = _load_variables(fm, (mesh.verts, mesh, False), params, stats)
+    out = fm.apply(variables, mesh.verts, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=1e-4, rtol=1e-4)
+
+
+def test_gcu_motion_parity(batch_norm_mode):
+    g = _gen(4)
+    verts, tpl, geo = _capsule_graph()
+    V = len(verts)
+    tm = GCUMotionOracle(8, 64, in_channel_pos=3, dim_pos_feat=16)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    feats = torch.randn(V, 8, generator=g)
+    with torch.no_grad():
+        ref = tm(torch.tensor(verts), feats,
+                 torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+
+    params, stats = ti.import_gcu_motion(ti.state_dict_to_numpy(tm.state_dict()), "")
+    mesh = _mesh_batch(verts, tpl, geo)
+    x = jnp.asarray(feats.numpy())[None]
+    fm = GCUMotion(64, dim_pos_feat=16)
+    variables = _load_variables(fm, (mesh.verts, x, mesh, False), params, stats)
+    out = fm.apply(variables, mesh.verts, x, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=1e-4, rtol=1e-4)
+
+
+def test_mesh_encoder_parity(batch_norm_mode):
+    """CorrNet mesh branch: 4x GCU + skip concat + global max + head, L2
+    normalized — the full cascade at reference widths (corrnet.py:17-22)."""
+    g = _gen(5)
+    verts, tpl, geo = _capsule_graph()
+    V = len(verts)
+    tm = MeshEncoderOracle(output_feature=64)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.tensor(verts), torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+
+    params, stats = ti.import_mesh_encoder(ti.state_dict_to_numpy(tm.state_dict()))
+    mesh = _mesh_batch(verts, tpl, geo)
+    fm = MeshEncoder(out_features=64)
+    variables = _load_variables(fm, (mesh, False), params, stats)
+    out = fm.apply(variables, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=1e-4, rtol=1e-3)
+
+
+def test_info_nce_parity():
+    """Dense masked info_nce vs the reference's per-sample loop, including a
+    sample with padded (invalid) vertices/points and padded corr rows."""
+    rng = np.random.default_rng(7)
+    B, V, P, C = 2, 40, 30, 16
+    nv = [40, 33]          # sample 1 has padded vertices
+    npts = [30, 22]        # and padded points
+    ncorr = [12, 7]
+    tau = 0.07
+
+    def unit(n, c):
+        x = rng.normal(size=(n, c)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    vf = np.zeros((B, V, C), np.float32)
+    pf = np.zeros((B, P, C), np.float32)
+    vert_mask = np.zeros((B, V), bool)
+    pts_mask = np.zeros((B, P), bool)
+    Nmax = max(ncorr)
+    v2p = np.zeros((B, Nmax, 2), np.int32)
+    p2v = np.zeros((B, Nmax, 2), np.int32)
+    cmask = np.zeros((B, Nmax), bool)
+    t_vf, t_pf, t_v2p, t_p2v = [], [], [], []
+    for i in range(B):
+        vf[i, :nv[i]] = unit(nv[i], C)
+        pf[i, :npts[i]] = unit(npts[i], C)
+        vert_mask[i, :nv[i]] = True
+        pts_mask[i, :npts[i]] = True
+        a = np.stack([rng.integers(0, nv[i], ncorr[i]),
+                      rng.integers(0, npts[i], ncorr[i])], 1).astype(np.int32)
+        b = np.stack([rng.integers(0, npts[i], ncorr[i]),
+                      rng.integers(0, nv[i], ncorr[i])], 1).astype(np.int32)
+        v2p[i, :ncorr[i]] = a
+        p2v[i, :ncorr[i]] = b
+        cmask[i, :ncorr[i]] = True
+        t_vf.append(torch.tensor(vf[i, :nv[i]]))
+        t_pf.append(torch.tensor(pf[i, :npts[i]]))
+        t_v2p.append(torch.tensor(a, dtype=torch.long))
+        t_p2v.append(torch.tensor(b, dtype=torch.long))
+
+    ref = float(info_nce_oracle(t_vf, t_pf, t_v2p, t_p2v, tau))
+    got = float(info_nce(
+        jnp.asarray(vf), jnp.asarray(pf),
+        jnp.asarray(v2p), jnp.asarray(cmask),
+        jnp.asarray(p2v), jnp.asarray(cmask),
+        jnp.asarray(vert_mask), jnp.asarray(pts_mask), jnp.asarray(tau),
+    ))
+    assert abs(ref - got) < 1e-4, (ref, got)
+
+
+class _CorrNetSkeleton(torch.nn.Module):
+    """state_dict-name-compatible stand-in for the full reference CorrNet
+    (corrnet.py:17-35) — validates that import_corrnet covers every leaf of
+    the flax CorrNet tree (point branch + vismask + temperature included)."""
+
+    def __init__(self, out=64):
+        super().__init__()
+        self.temprature = torch.nn.Parameter(torch.tensor([0.07]))
+        self.vtx_gcu_1 = GCUOracle(3, 32)
+        self.vtx_gcu_2 = GCUOracle(32, 64)
+        self.vtx_gcu_3 = GCUOracle(64, 256)
+        self.vtx_gcu_4 = GCUOracle(256, 512)
+        self.vtx_mlp_glb = mlp([864, 1024])
+        self.vtx_mlp = torch.nn.Sequential(mlp([1024 + 3 + 864, 1024, 256]),
+                                           torch.nn.Linear(256, out))
+        for name, chans in (("pts_sa1_module", [3, 32, 32, 64]),
+                            ("pts_sa2_module", [64 + 3, 64, 64, 128]),
+                            ("pts_sa3_module", [128 + 3, 256, 256, 256])):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Module()
+            m.conv.local_nn = mlp(chans)
+            setattr(self, name, m)
+        for name, chans in (("pts_sa4_module", [256 + 3, 256, 256, 512]),
+                            ("pts_fp4_module", [512 + 256, 256, 256]),
+                            ("pts_fp3_module", [256 + 128, 256, 128]),
+                            ("pts_fp2_module", [128 + 64, 128, 64]),
+                            ("pts_fp1_module", [64, 64, 64])):
+            m = torch.nn.Module()
+            m.nn = mlp(chans)
+            setattr(self, name, m)
+        self.pts_mlp = torch.nn.Sequential(mlp([64, 64]), torch.nn.Linear(64, out))
+        self.lin_vismask = torch.nn.Sequential(mlp([2 * out + 1, 256, 128, 64]),
+                                               torch.nn.Linear(64, 1))
+
+
+def test_corrnet_full_import(batch_norm_mode):
+    """import_corrnet must produce a COMPLETE flax CorrNet variable tree:
+    from_state_dict raises on any missing leaf, and the restored model must
+    run forward."""
+    from morig_tpu.core.batch import PointBatch
+    from morig_tpu.nn.corrnet import CorrNet
+
+    tm = _CorrNetSkeleton()
+    randomize_bn_stats(tm, _gen(6))
+    params, stats = ti.import_corrnet(ti.state_dict_to_numpy(tm.state_dict()))
+
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    mesh = _mesh_batch(verts, tpl, geo)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    points = PointBatch(pts=pts, pts_mask=jnp.ones((1, 64), bool))
+    fm = CorrNet(output_feature=64, num_points=64)
+    variables = _load_variables(fm, (mesh, points, False, True, None), params, stats)
+    vtx_f, pts_f, vis, tau = fm.apply(variables, mesh, points, False, True, None)
+    assert np.isfinite(np.asarray(vtx_f)).all()
+    assert np.isfinite(np.asarray(pts_f)).all()
+    assert np.isfinite(np.asarray(vis)).all()
+    assert abs(float(tau) - 0.07) < 1e-6

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morig_tpu.data.pose import capsule_pose_dataset
 from morig_tpu.data.rig import capsule_rig_dataset
@@ -9,6 +10,8 @@ from morig_tpu.data.skeleton_data import capsule_skel_dataset
 from morig_tpu.train.stages import (
     BoneStage, DeformPoseStage, RigStage, RootStage, SkinStage,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def make_predictor(train_steps: int = 12):

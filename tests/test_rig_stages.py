@@ -1,9 +1,12 @@
 """M3 integration: rig dataset assembly + joint/mask/skin stage training."""
 import jax
 import numpy as np
+import pytest
 
 from morig_tpu.data.rig import capsule_rig_dataset
 from morig_tpu.train.stages import RigStage, SkinStage
+
+pytestmark = pytest.mark.slow
 
 
 def small_rig_dataset():

@@ -2,11 +2,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morig_tpu.core.batch import build_mesh, stack_meshes
 from morig_tpu.nn.rignet import (
     JointNetMotion, MaskNetMotion, SkinMotion, TemporalAttn, slice_skin_descriptor,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def make_mesh(rng, nv=20, pad=32, B=2):

@@ -1,9 +1,12 @@
 """BoneNet/RootNet training + skeleton prediction pipeline on the capsule."""
 import jax
 import numpy as np
+import pytest
 
 from morig_tpu.data.skeleton_data import capsule_skel_dataset
 from morig_tpu.train.stages import BoneStage, RootStage
+
+pytestmark = pytest.mark.slow
 
 
 def small_sample():

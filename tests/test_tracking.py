@@ -9,12 +9,15 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morig_tpu.core import batch as B
 from morig_tpu.data.synthetic import make_capsule_sequence
 from morig_tpu.eval.metrics import flow_errors
 from morig_tpu.geometry import skeleton as sk
 from morig_tpu.pipelines.tracking import Tracker, TrackState
+
+pytestmark = pytest.mark.slow
 
 
 class OracleDeformStage:
