@@ -65,6 +65,13 @@ def eval_frame_pair(sequential: bool) -> tuple[int, int]:
 
 
 class PoseDataset:
+    """Models are grouped into vertex-size buckets: each model pads to the
+    smallest bucket that fits it, and every emitted batch is homogeneous in
+    bucket (one jit specialization per bucket).  This avoids the single
+    dataset-wide pad that wastes up to ~4x compute on small meshes when sizes
+    are mixed (ModelsResources spans V ~ 1k-5k+).  Pass `pad_verts` to force
+    the old single-bucket behavior."""
+
     def __init__(
         self,
         models: Sequence[PoseModel],
@@ -72,17 +79,23 @@ class PoseDataset:
         tpl_max_degree: int = 16,
         geo_max_degree: int = 16,
         max_corr: int = 1024,
+        buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192),
     ):
         self.models = list(models)
-        if pad_verts is None:
-            top = max(m.num_verts for m in self.models)
-            pad_verts = B.bucket_size(top, (256, 512, 1024, 2048, 4096, 8192))
-        self.pad_verts = pad_verts
+        if pad_verts is not None:
+            self.bucket_of = [pad_verts] * len(self.models)
+        else:
+            self.bucket_of = [
+                B.bucket_size(m.num_verts, buckets) for m in self.models
+            ]
+        # largest bucket in use: callers sizing mask-independent knobs
+        # (e.g. embedding sample counts) key off this
+        self.pad_verts = max(self.bucket_of) if self.models else int(buckets[0])
         self.max_corr = max_corr
         self._mesh_cache = [
             B.build_mesh(m.vtx_traj[:, 0, :], m.tpl_edges, m.geo_edges,
-                         pad_verts, tpl_max_degree, geo_max_degree)
-            for m in self.models
+                         self.bucket_of[i], tpl_max_degree, geo_max_degree)
+            for i, m in enumerate(self.models)
         ]
 
     def __len__(self):
@@ -98,12 +111,16 @@ class PoseDataset:
         return out, mask
 
     def batch(self, indices: Sequence[int], src: int, tar: int) -> "B.PoseSample":
-        """Assemble a padded PoseSample for models `indices` at (src, tar)."""
+        """Assemble a padded PoseSample for models `indices` at (src, tar).
+        All models in one batch must share a bucket size."""
+        pads = {self.bucket_of[i] for i in indices}
+        assert len(pads) == 1, f"mixed buckets in one batch: {pads}"
+        pad = pads.pop()
         meshes, ptss, ptms, v2ps, v2pms, p2vs, p2vms, viss, flows = ([] for _ in range(9))
         for i in indices:
             m = self.models[i]
             entry = dict(self._mesh_cache[i])
-            entry["verts"] = B.pad_to(m.vtx_traj[:, src, :].astype(np.float32), self.pad_verts)
+            entry["verts"] = B.pad_to(m.vtx_traj[:, src, :].astype(np.float32), pad)
             meshes.append(entry)
             ptss.append(m.pts_traj[:, tar, :].astype(np.float32))
             ptms.append(np.ones(len(m.pts_traj), bool))
@@ -111,9 +128,9 @@ class PoseDataset:
             v2ps.append(c); v2pms.append(cm)
             c, cm = self._corr_pad(m.corr_p2v, tar)
             p2vs.append(c); p2vms.append(cm)
-            viss.append(B.pad_to(m.vismask[:, tar].astype(np.float32), self.pad_verts))
+            viss.append(B.pad_to(m.vismask[:, tar].astype(np.float32), pad))
             flow = (m.vtx_traj[:, tar, :] - m.vtx_traj[:, src, :]).astype(np.float32)
-            flows.append(B.pad_to(flow, self.pad_verts))
+            flows.append(B.pad_to(flow, pad))
         import jax.numpy as jnp
 
         return B.PoseSample(
@@ -129,22 +146,37 @@ class PoseDataset:
 
     def epoch_batches(self, rng: np.random.Generator, batch_size: int, kind: str,
                       sequential: bool, train: bool = True):
-        """Yield PoseSample batches for one epoch (shuffled when training)."""
+        """Yield PoseSample batches for one epoch: models grouped per bucket
+        (homogeneous static shapes -> one compiled program per bucket), batch
+        order shuffled across buckets when training."""
         order = rng.permutation(len(self.models)) if train else np.arange(len(self.models))
         nf = min(m.num_frames for m in self.models)
-        for s in range(0, len(order), batch_size):
-            idx = order[s : s + batch_size]
-            if len(idx) < batch_size:  # drop ragged tail to keep shapes static
-                if train:
-                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-                else:
-                    idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
+
+        by_bucket: dict[int, list[int]] = {}
+        for i in order:
+            by_bucket.setdefault(self.bucket_of[i], []).append(int(i))
+        batch_ids: list[list[int]] = []
+        for bucket in sorted(by_bucket):
+            idxs = by_bucket[bucket]
+            for s in range(0, len(idxs), batch_size):
+                idx = idxs[s : s + batch_size]
+                if len(idx) < batch_size:  # pad ragged tail: static shapes
+                    if train:
+                        while len(idx) < batch_size:  # cycle bucket members
+                            idx = idx + idxs[: batch_size - len(idx)]
+                    else:
+                        idx = idx + [idx[-1]] * (batch_size - len(idx))
+                batch_ids.append(idx)
+        if train and len(batch_ids) > 1:
+            batch_ids = [batch_ids[k] for k in rng.permutation(len(batch_ids))]
+
+        for idx in batch_ids:
             if train:
                 src, tar = sample_frame_pair(rng, kind, sequential, nf)
             else:
                 src, tar = eval_frame_pair(sequential)
                 src, tar = min(src, nf - 2), min(tar, nf - 1)
-            yield self.batch(idx.tolist(), src, tar)
+            yield self.batch(idx, src, tar)
 
 
 def capsule_pose_dataset(num_models: int = 2, seed: int = 0, **kw) -> PoseDataset:

@@ -67,8 +67,9 @@ def _kernel(a_ref, btab_ref, nbr_ref, mask_ref, w2_ref, b2_ref,
     out_ref[0] = jnp.where(n_valid > 0, acc, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_v",))
-def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int = 256):
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
+def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int = 256,
+                   interpret: bool = False):
     """a (B,V,H1) fp32/bf16, b_table (B,V,H1), nbr/mask (B,V,D) int32/bool,
     w2 (H1,H2), vectors (H,) — returns (B,V,H2) fp32.
 
@@ -101,6 +102,7 @@ def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int 
         ],
         out_specs=pl.BlockSpec((1, TV, H2), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, V, H2), jnp.float32),
+        interpret=interpret,
     )(
         a.astype(jnp.bfloat16), b_table.astype(jnp.bfloat16), nbr_t, mask_t,
         w2.astype(jnp.bfloat16), vec(b2), vec(g1), vec(be1), vec(g2), vec(be2),
@@ -180,9 +182,9 @@ def check_neighbor_locality(nbr: np.ndarray, tile_v: int = 256) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("tile_v",))
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
 def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
-                            tile_v: int = 256):
+                            tile_v: int = 256, interpret: bool = False):
     """Windowed fused EdgeMLP; caller must guarantee neighbor locality
     (check_neighbor_locality)."""
     B, V, H1 = a.shape
@@ -219,6 +221,7 @@ def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
         ],
         out_specs=pl.BlockSpec((1, TV, H2), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, V, H2), jnp.float32),
+        interpret=interpret,
     )(
         a.astype(jnp.bfloat16), b_table.astype(jnp.bfloat16),
         b_table.astype(jnp.bfloat16), b_table.astype(jnp.bfloat16),
@@ -226,3 +229,45 @@ def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
         w2.astype(jnp.bfloat16), vec(b2), vec(g1), vec(be1), vec(g2), vec(be2),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: fused forward + rematerialized XLA backward
+# ---------------------------------------------------------------------------
+#
+# The backward of the masked max needs the per-(vertex, channel) winning edge,
+# which the fused kernel does not save (keeping it would spill (B,V,D,H2) to
+# HBM — exactly the traffic the kernel eliminates).  Instead the backward
+# REMATERIALIZES the XLA edge program and differentiates it: training pays the
+# gather once (backward) instead of twice (forward+backward), and the forward
+# runs at fused-kernel speed.  Gradients are exact for the fp32 XLA semantics;
+# the bf16 fused forward differs from the fp32 primal by normal mixed-precision
+# noise (same trade as remat-with-different-precision).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_edge_mlp_trainable(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
+                             windowed: bool = False, interpret: bool = False):
+    fn = fused_edge_mlp_windowed if windowed else fused_edge_mlp
+    return fn(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
+              interpret=interpret)
+
+
+def _trainable_fwd(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
+                   windowed, interpret):
+    out = fused_edge_mlp_trainable(a, b_table, nbr, mask, w2, b2, g1, be1,
+                                   g2, be2, windowed, interpret)
+    return out, (a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2)
+
+
+def _trainable_bwd(windowed, interpret, res, g):
+    a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2 = res
+
+    def primal(a, b_table, w2, b2, g1, be1, g2, be2):
+        return reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2)
+
+    _, vjp = jax.vjp(primal, a, b_table, w2, b2, g1, be1, g2, be2)
+    da, db, dw2, db2, dg1, dbe1, dg2, dbe2 = vjp(g)
+    return da, db, None, None, dw2, db2, dg1, dbe1, dg2, dbe2
+
+
+fused_edge_mlp_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -59,8 +59,8 @@ def get_edge_impl() -> str:
     return _EDGE_IMPL
 
 
-def _fusable(train, channels, V, H1, H2, tile_v=256):
-    if train or get_default_norm() != "layer" or len(channels) != 2:
+def _fusable(channels, V, H1, H2, tile_v=256):
+    if get_default_norm() != "layer" or len(channels) != 2:
         return False
     if H1 < 128 or H1 % 128 or H2 % 128 or V % tile_v:
         return False
@@ -129,15 +129,24 @@ class EdgeMLP(nn.Module):
 
             impl = get_edge_impl()
             V = x.shape[1]
-            if (impl != "xla" and not self.is_initializing()
-                    and _fusable(train, self.channels, V, h1, h2)):
+            # inference: fused on TPU whenever shapes allow ("auto"/"fused"/
+            # "windowed").  training: fused forward + rematerialized XLA
+            # backward (edge_fused.fused_edge_mlp_trainable), OPT-IN via
+            # set_edge_impl("fused"|"windowed") — the bf16 fused forward adds
+            # mixed-precision noise the default recipe doesn't assume.
+            use_fused = (impl != "xla" and not self.is_initializing()
+                         and _fusable(self.channels, V, h1, h2)
+                         and (not train or impl in ("fused", "windowed")))
+            if use_fused:
                 from morig_tpu.kernels import edge_fused as ef
 
-                fn = ef.fused_edge_mlp_windowed if (
-                    impl == "windowed" and V // 256 >= 3
-                ) else ef.fused_edge_mlp
-                return fn(a.astype(jnp.float32), b.astype(jnp.float32),
-                          nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
+                windowed = impl == "windowed" and V // 256 >= 3
+                args = (a.astype(jnp.float32), b.astype(jnp.float32),
+                        nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
+                if train:
+                    return ef.fused_edge_mlp_trainable(*args, windowed, False)
+                fn = ef.fused_edge_mlp_windowed if windowed else ef.fused_edge_mlp
+                return fn(*args)
 
             from morig_tpu.kernels.edge_fused import _ln
 

@@ -1,0 +1,132 @@
+"""Parity tests for the fused Pallas EdgeMLP kernels against the XLA oracle
+(kernels/edge_fused.reference_edge_mlp), in pallas interpret mode so the
+kernel program logic (one-hot gather, LN, masked max, halo-window index math)
+is exercised on CPU in the regular suite.  The SAME assertions run against
+the compiled TPU kernels in tests_tpu/test_edge_fused_tpu.py.
+
+Tolerances: the fused kernel computes its matmuls in bf16 (the reference is
+fp32), so forward parity is bounded by bf16 noise on O(1) LayerNorm outputs
+(~4e-3 relative); gradients of a linear loss are EXACT because the custom VJP
+rematerializes the fp32 XLA program.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morig_tpu.kernels import edge_fused as ef
+
+ATOL_BF16 = 0.05
+MEAN_TOL = 0.01
+
+
+def make_inputs(rng, B, V, D, H1, H2, local=False, tile_v=256,
+                n_fully_masked=3):
+    a = rng.normal(size=(B, V, H1)).astype(np.float32)
+    b = rng.normal(size=(B, V, H1)).astype(np.float32)
+    if local:
+        # ring-ordered: neighbors within +-tile_v of the row -> inside the
+        # 3-block halo; include extreme offsets that touch window edges
+        base = np.arange(V)[None, :, None]
+        offs = rng.integers(-tile_v, tile_v, size=(B, V, D))
+        nbr = np.clip(base + offs, 0, V - 1).astype(np.int32)
+        NB = V // tile_v
+        for i in range(NB):                      # rows pinned to halo edges
+            ws = int(np.clip(i - 1, 0, NB - 3)) * tile_v
+            r = i * tile_v
+            nbr[:, r, 0] = ws                     # window start
+            nbr[:, r, 1] = ws + 3 * tile_v - 1    # window end
+    else:
+        nbr = rng.integers(0, V, size=(B, V, D)).astype(np.int32)
+    mask = rng.uniform(size=(B, V, D)) < 0.7
+    mask[:, :, 0] = True
+    for i in range(n_fully_masked):               # rows with no valid edges
+        mask[:, 7 + 11 * i, :] = False
+    w2 = (rng.normal(size=(H1, H2)) / np.sqrt(H1)).astype(np.float32)
+    b2 = rng.normal(size=(H2,)).astype(np.float32) * 0.1
+    g1 = rng.uniform(0.5, 1.5, H1).astype(np.float32)
+    be1 = rng.normal(size=(H1,)).astype(np.float32) * 0.1
+    g2 = rng.uniform(0.5, 1.5, H2).astype(np.float32)
+    be2 = rng.normal(size=(H2,)).astype(np.float32) * 0.1
+    return (jnp.asarray(a), jnp.asarray(b), jnp.asarray(nbr), jnp.asarray(mask),
+            jnp.asarray(w2), jnp.asarray(b2), jnp.asarray(g1), jnp.asarray(be1),
+            jnp.asarray(g2), jnp.asarray(be2))
+
+
+def _assert_close(got, ref, mask):
+    got, ref = np.asarray(got), np.asarray(ref)
+    diff = np.abs(got - ref)
+    assert diff.max() < ATOL_BF16, f"max diff {diff.max()}"
+    assert diff.mean() < MEAN_TOL, f"mean diff {diff.mean()}"
+    # fully-masked rows must be exactly zero
+    dead = ~np.asarray(mask).any(-1)
+    assert (got[dead] == 0).all()
+
+
+def run_forward_parity(interpret: bool):
+    rng = np.random.default_rng(0)
+    args = make_inputs(rng, B=2, V=512, D=4, H1=128, H2=128)
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp(*args, interpret=interpret)
+    _assert_close(got, ref, args[3])
+
+
+def run_windowed_parity(interpret: bool, V=1024):
+    """NB=4 blocks: first/last-block halo clipping (ws=clip(i-1,0,NB-3)*TV)
+    is exercised at both boundaries."""
+    rng = np.random.default_rng(1)
+    args = make_inputs(rng, B=2, V=V, D=4, H1=128, H2=128, local=True)
+    assert ef.check_neighbor_locality(np.asarray(args[2]))
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp_windowed(*args, interpret=interpret)
+    _assert_close(got, ref, args[3])
+
+
+def run_grad_parity(interpret: bool, windowed: bool):
+    rng = np.random.default_rng(2)
+    args = make_inputs(rng, B=1, V=768 if windowed else 512, D=4,
+                       H1=128, H2=128, local=windowed)
+    a, b, nbr, mask, *tail = args
+
+    def loss_fused(a, b, w2, b2, g1, be1, g2, be2):
+        return jnp.sum(ef.fused_edge_mlp_trainable(
+            a, b, nbr, mask, w2, b2, g1, be1, g2, be2, windowed, interpret))
+
+    def loss_ref(a, b, w2, b2, g1, be1, g2, be2):
+        return jnp.sum(ef.reference_edge_mlp(
+            a, b, nbr, mask, w2, b2, g1, be1, g2, be2))
+
+    diff = (a, b) + tuple(tail)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(8)))(*diff)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*diff)
+    # linear loss -> incoming cotangent is ones -> the rematerialized VJP
+    # must match the XLA gradients exactly
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-5, rtol=1e-5)
+
+
+# ---- CPU interpret-mode instantiations (regular suite) ----
+
+def test_fused_forward_parity_interpret():
+    run_forward_parity(interpret=True)
+
+
+def test_windowed_forward_parity_interpret():
+    run_windowed_parity(interpret=True)
+
+
+def test_trainable_grad_parity_interpret():
+    run_grad_parity(interpret=True, windowed=False)
+
+
+def test_trainable_grad_parity_windowed_interpret():
+    run_grad_parity(interpret=True, windowed=True)
+
+
+def test_locality_checker_rejects_nonlocal():
+    rng = np.random.default_rng(3)
+    nbr = rng.integers(0, 1024, size=(1, 1024, 4)).astype(np.int32)
+    nbr[0, 0, 0] = 1023          # block 0 -> block 3: outside the 3-block halo
+    assert not ef.check_neighbor_locality(nbr)

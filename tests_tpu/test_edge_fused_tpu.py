@@ -1,0 +1,41 @@
+"""Compiled-kernel parity on the real TPU at benchmark shapes
+(V=2048, D=16, H1=128, H2=256) — the exact configuration behind the headline
+throughput number, plus the halo-clipping windowed variant and the trainable
+custom-VJP path."""
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from morig_tpu.kernels import edge_fused as ef
+from test_edge_fused import _assert_close, make_inputs, run_grad_parity
+
+
+def test_fused_forward_bench_shapes():
+    rng = np.random.default_rng(10)
+    args = make_inputs(rng, B=2, V=2048, D=16, H1=128, H2=256)
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp(*args)
+    _assert_close(got, ref, args[3])
+
+
+def test_windowed_forward_bench_shapes():
+    rng = np.random.default_rng(11)
+    args = make_inputs(rng, B=2, V=2048, D=16, H1=128, H2=256, local=True)
+    assert ef.check_neighbor_locality(np.asarray(args[2]))
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp_windowed(*args)
+    _assert_close(got, ref, args[3])
+
+
+def test_trainable_grad_parity_tpu():
+    run_grad_parity(interpret=False, windowed=False)
+
+
+def test_trainable_grad_parity_windowed_tpu():
+    run_grad_parity(interpret=False, windowed=True)
