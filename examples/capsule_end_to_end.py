@@ -42,7 +42,7 @@ def main():
     from morig_tpu.pipelines.rig_predict import RigPredictor
     from morig_tpu.pipelines.tracking import Tracker
     from morig_tpu.train.stages import (
-        BoneStage, DeformPoseStage, RigStage, RootStage, SkinStage,
+        BoneStage, CorrPoseStage, DeformPoseStage, RigStage, RootStage, SkinStage,
     )
     from morig_tpu.utils.profiling import StageTimer
 
@@ -56,6 +56,20 @@ def main():
     rig_b = rig_ds.batch([0, 1])
 
     rng = jax.random.key(0)
+
+    # stage 1: correspondence pretraining, then hand the extractor to the
+    # deform stage (the reference's corr ckpt -> --init_extractor flow,
+    # train_deform_pose.py:149)
+    corr = CorrPoseStage()
+    corr_state = corr.init_state(jax.random.key(7), pose_b)
+    r = jax.random.key(2)
+    with timer.section("train_corr"):
+        for step in range(max(args.steps // 2, 1)):
+            r, s = jax.random.split(r)
+            corr_state, cm = corr.train_step(corr_state, pose_b, s)
+            if step % 25 == 0:
+                print(f"corr step {step}: loss={float(cm['total_loss']):.3f}")
+
     stages = {
         "deform": (DeformPoseStage(), pose_b),
         "joints": (RigStage(arch="jointnet", num_embed_sample=128), rig_b),
@@ -67,6 +81,8 @@ def main():
     states = {}
     for name, (stage, batch) in stages.items():
         states[name] = stage.init_state(jax.random.key(hash(name) % 2**31), batch)
+    states["deform"] = stages["deform"][0].init_extractor_from(
+        states["deform"], corr_state.params, corr_state.batch_stats)
 
     r = jax.random.key(1)
     with timer.section("train_all_stages"):
