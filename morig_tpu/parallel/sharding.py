@@ -81,8 +81,14 @@ def shard_state(state, mesh: Mesh, tensor_parallel: bool = True,
     """Place a TrainState on the mesh: params (optionally TP-sharded),
     batch_stats/step replicated.  With reinit_opt the optimizer moments are
     re-initialized from the sharded params so they inherit the same layout
-    (use for fresh states, e.g. the multichip dry run); otherwise they are
-    replicated and XLA reshards on first use."""
+    (use for FRESH states only, e.g. the multichip dry run — guarded below);
+    otherwise they are replicated and XLA reshards on first use."""
+    if reinit_opt and int(jax.device_get(state.step)) > 0:
+        raise ValueError(
+            "shard_state(reinit_opt=True) would discard the optimizer moments "
+            f"of a mid-training state (step={int(jax.device_get(state.step))}); "
+            "use reinit_opt=False to reshard an existing optimizer state."
+        )
     if tensor_parallel:
         params = shard_params_tp(state.params, mesh)
     else:
