@@ -16,12 +16,17 @@ from morig_tpu.core import batch as B
 from morig_tpu.geometry import skeleton as sk
 
 
-def pair_attrs(joints: np.ndarray, vox=None) -> tuple[np.ndarray, np.ndarray]:
-    """All (i<j) pairs and their [dist, inside_proportion] attributes."""
+def pair_attrs(joints: np.ndarray, vox=None,
+               frac: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """All (i<j) pairs and their [dist, inside_proportion] attributes.
+    `frac` may be precomputed (batched device call across many meshes —
+    pipelines/rig_predict.py) to avoid a per-mesh device round trip."""
     J = len(joints)
     pairs = np.array(list(itertools.combinations(range(J), 2)), np.int32).reshape(-1, 2)
     dist = np.linalg.norm(joints[pairs[:, 0]] - joints[pairs[:, 1]], axis=1)
-    if vox is not None:
+    if frac is not None:
+        frac = np.asarray(frac)[: len(pairs)]
+    elif vox is not None:
         import jax.numpy as jnp
 
         from morig_tpu.geometry.voxel import segment_inside_fraction, vox_to_device
@@ -43,6 +48,8 @@ def build_skel_sample(
     rigs: Optional[Sequence[sk.Rig]] = None,
     voxes: Optional[Sequence] = None,
     max_joints: int = 48,
+    pair_fracs: Optional[Sequence] = None,
+    mesh_batch: Optional[B.MeshBatch] = None,
 ) -> B.SkelSample:
     """Assemble a padded SkelSample.  With `rigs` given, labels come from GT
     adjacency and the GT root; otherwise labels are zero (inference)."""
@@ -63,7 +70,8 @@ def build_skel_sample(
         joints_a[i, :J] = j[:J]
         joints_m[i, :J] = True
         vox = voxes[i] if voxes is not None else None
-        pr, at = pair_attrs(j[:J], vox)
+        fr = pair_fracs[i] if pair_fracs is not None else None
+        pr, at = pair_attrs(j[:J], vox, frac=fr)
         n = min(len(pr), max_pairs)
         pairs_a[i, :n] = pr[:n]
         pairs_m[i, :n] = True
@@ -73,7 +81,7 @@ def build_skel_sample(
             label_a[i, :n] = adj[pr[:n, 0], pr[:n, 1]]
             root_a[i] = rigs[i].root_id
     return B.SkelSample(
-        mesh=B.stack_meshes(list(mesh_entries)),
+        mesh=mesh_batch if mesh_batch is not None else B.stack_meshes(list(mesh_entries)),
         joints=jnp.asarray(joints_a), joints_mask=jnp.asarray(joints_m),
         pairs=jnp.asarray(pairs_a), pair_mask=jnp.asarray(pairs_m),
         pair_attr=jnp.asarray(attr_a), pair_label=jnp.asarray(label_a),

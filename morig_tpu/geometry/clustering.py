@@ -84,30 +84,40 @@ def nms_modes(
     density_threshold: float = 0.02,
     attn_threshold: float = 0.7,
     mask: np.ndarray | None = None,
+    counts: np.ndarray | None = None,
 ) -> np.ndarray:
     """Greedy density-sorted mode extraction after mean-shift
     (cluster_utils.py:39-63): visit points by descending neighbor count,
     suppress everything within the bandwidth, keep the visited point as a mode
-    if its neighborhood's max attention or density clears the thresholds."""
+    if its neighborhood's max attention or density clears the thresholds.
+
+    Distances are computed lazily per visited (alive) point — O(modes * N)
+    host work instead of a dense O(N^2) matrix.  `counts` (the visiting
+    order) may be precomputed on device (_cluster_static); without it the
+    one O(N^2) reduction happens here."""
     pts = np.asarray(pts)
     attn = np.asarray(attn).reshape(-1)
     if mask is not None:
         pts = pts[mask]
         attn = attn[np.asarray(mask)]
+        if counts is not None:
+            counts = np.asarray(counts)[np.asarray(mask)]
     n = len(pts)
     if n == 0:
         return np.zeros((0, 3), np.float32)
-    d = np.sqrt(np.maximum(((pts[None] - pts[:, None]) ** 2).sum(-1), 0.0))
-    counts = (d <= bandwidth).sum(0)
-    order = np.argsort(counts)[::-1]
+    if counts is None:
+        d2 = ((pts[None] - pts[:, None]) ** 2).sum(-1)
+        counts = (d2 <= bandwidth * bandwidth).sum(0)
+    order = np.argsort(np.asarray(counts))[::-1]
+    bw2 = bandwidth * bandwidth
     alive = np.ones(n, bool)
     keep = np.zeros(n, bool)
     for i in order:
         if not alive[i]:
             continue
-        nbrs = np.where(d[:, i] <= bandwidth)[0]
+        nbrs = ((pts - pts[i]) ** 2).sum(-1) <= bw2
         alive[nbrs] = False
-        if attn[nbrs].max() > attn_threshold or len(nbrs) / n > density_threshold:
+        if attn[nbrs].max() > attn_threshold or nbrs.sum() / n > density_threshold:
             keep[i] = True
     return pts[keep]
 
@@ -138,16 +148,93 @@ def flip_joints(joints: np.ndarray, tol: float = 2e-2) -> tuple[np.ndarray, np.n
 @partial(jax.jit, static_argnames=("quantile", "num_iter"))
 def _cluster_static(pts: jax.Array, attn: jax.Array, mask: jax.Array,
                     quantile: float, num_iter: int):
-    """Masked bandwidth + mean-shift at a static shape (vmappable)."""
+    """Masked bandwidth + mean-shift + density counts at a static shape.
+
+    The counts (#valid neighbors within the bandwidth after convergence) are
+    the NMS visiting order — computing them here keeps the host NMS free of
+    any O(N^2) work (it only touches O(N) per surviving mode)."""
     bw = estimate_bandwidth(pts, mask, quantile=quantile)
     moved = meanshift_cluster(pts, bw, attn, mask, num_iter=num_iter)
-    return moved, bw
+    d2 = pairwise_sqdist(moved, moved)
+    within = (d2 <= bw * bw) & mask[None, :]
+    counts = jnp.sum(within, axis=1) * mask
+    return moved, bw, counts
 
 
 @partial(jax.jit, static_argnames=("quantile", "num_iter"))
 def _cluster_static_batch(pts, attn, mask, quantile, num_iter):
     return jax.vmap(lambda p, a, m: _cluster_static(p, a, m, quantile, num_iter))(
         pts, attn, mask)
+
+
+@partial(jax.jit, static_argnames=("quantile", "num_iter", "attn_threshold",
+                                   "symmetrize", "has_vox"))
+def select_and_cluster(
+    shifted: jax.Array,            # (B, V, 3)
+    attn: jax.Array,               # (B, V)
+    vert_mask: jax.Array,          # (B, V)
+    vox_grid: jax.Array | None,    # (B, D, D, D) bool or None
+    vox_translate: jax.Array | None,
+    vox_scale: jax.Array | None,
+    quantile: float = 0.04,
+    num_iter: int = 30,
+    attn_threshold: float = 0.1,
+    symmetrize: bool = True,
+    has_vox: bool = False,
+) -> tuple:
+    """The entire device end of joint extraction in ONE program: per-sample
+    attention min-max (over valid vertices), voxel containment, selection
+    mask, reflect symmetrization, masked bandwidth + mean-shift + density
+    counts.  Keeping this fused means the only host<->device traffic of the
+    joint stage is one download of the five outputs — the Python NMS/flip
+    tail works on those.  Returns (moved (B,N,3), bw (B,), counts (B,N),
+    attn2 (B,N), sel2 (B,N)) with N = 2V (symmetrized) or V."""
+    from morig_tpu.geometry.voxel import inside_check_jax
+
+    def one(s, a, vm, g, tr, sc):
+        hi = jnp.max(jnp.where(vm, a, -jnp.inf))
+        lo = jnp.min(jnp.where(vm, a, jnp.inf))
+        spread = hi - lo
+        a_n = jnp.where(spread > 1e-10, (a - lo) / jnp.where(spread > 1e-10, spread, 1.0), a)
+        sel = vm & (a_n > attn_threshold)
+        if has_vox:
+            sel = sel & inside_check_jax(s, g, tr, sc)
+        if symmetrize:
+            pts2 = jnp.concatenate([s, s * jnp.array([-1.0, 1.0, 1.0], s.dtype)], 0)
+            a2 = jnp.concatenate([a_n, a_n])
+            sel2 = jnp.concatenate([sel, sel])
+        else:
+            pts2, a2, sel2 = s, a_n, sel
+        moved, bw, counts = _cluster_static(pts2, a2.astype(jnp.float32), sel2,
+                                            quantile, num_iter)
+        return moved, bw, counts, a2, sel2
+
+    if has_vox:
+        return jax.vmap(one)(shifted, attn, vert_mask, vox_grid,
+                             vox_translate, vox_scale)
+    return jax.vmap(lambda s, a, vm: one(s, a, vm, None, None, None))(
+        shifted, attn, vert_mask)
+
+
+def nms_flip_host(moved, bws, counts, attn2, sel2,
+                  density_threshold: float = 0.02,
+                  attn_nms_threshold: float = 0.7,
+                  symmetrize: bool = True) -> list:
+    """Host tail of joint extraction over the fetched select_and_cluster
+    outputs: per-mesh NMS + flip."""
+    out = []
+    for i in range(len(moved)):
+        m = np.asarray(sel2[i])
+        if not m.any():
+            out.append(np.zeros((0, 3), np.float32))
+            continue
+        modes = nms_modes(np.asarray(moved[i])[m], np.asarray(attn2[i])[m],
+                          float(bws[i]), density_threshold, attn_nms_threshold,
+                          counts=np.asarray(counts[i])[m])
+        if symmetrize:
+            modes, _ = flip_joints(modes)
+        out.append(modes)
+    return out
 
 
 def extract_joints_batch(
@@ -190,11 +277,12 @@ def extract_joints_batch(
     else:
         pts2, attn2, sel2 = shifted, attn_n, sel
 
-    moved, bws = _cluster_static_batch(
+    moved, bws, counts = _cluster_static_batch(
         jnp.asarray(pts2), jnp.asarray(attn2, jnp.float32), jnp.asarray(sel2),
         bandwidth_quantile, meanshift_iters)
     moved = np.asarray(moved)
     bws = np.asarray(bws)
+    counts = np.asarray(counts)
 
     out = []
     for i in range(Bn):
@@ -203,7 +291,8 @@ def extract_joints_batch(
             out.append(np.zeros((0, 3), np.float32))
             continue
         modes = nms_modes(moved[i][m], attn2[i][m], float(bws[i]),
-                          density_threshold, attn_nms_threshold)
+                          density_threshold, attn_nms_threshold,
+                          counts=counts[i][m])
         if symmetrize:
             modes, _ = flip_joints(modes)
         out.append(modes)

@@ -196,7 +196,6 @@ class RigPredictor:
 
     def _skin_program(self):
         import jax
-        import jax.numpy as jnp
 
         def fn(params, stats, desc, flow, mesh):
             _, _, logits = self.skin_stage.model.apply(
@@ -205,6 +204,101 @@ class RigPredictor:
 
         return self._jit("skin", fn)
 
+    def _rootbone_program(self):
+        def fn(rparams, rstats, bparams, bstats, sample):
+            root_logits = self.root_stage.model.apply(
+                {"params": rparams, "batch_stats": rstats},
+                sample.mesh, sample.joints, sample.joints_mask, False)
+            pair_logits = self.bone_stage.model.apply(
+                {"params": bparams, "batch_stats": bstats},
+                sample.mesh, sample.joints, sample.joints_mask,
+                sample.pairs, sample.pair_attr, False)
+            return root_logits, pair_logits
+
+        return self._jit("rootbone", fn)
+
+    def _smooth_program(self):
+        """Batched skin smoothing + pruning at a fixed padded bone count."""
+        import jax
+
+        from morig_tpu.geometry.skinning import post_filter_skin, prune_and_normalize
+
+        def fn(full, tpl_nbr, tpl_mask):
+            def one(f, nbr, msk):
+                s = post_filter_skin(
+                    f, nbr, msk, num_ring=self.cfg.skin_post.post_filter_rings)
+                return prune_and_normalize(s, self.cfg.skin_post.prune_ratio_rig)
+
+            return jax.vmap(one)(full, tpl_nbr, tpl_mask)
+
+        return self._jit("smooth", fn)
+
+    def _pairfrac_program(self):
+        """Batched segment-inside fractions for all meshes' joint pairs."""
+        import jax
+
+        from morig_tpu.geometry.voxel import segment_inside_fraction
+
+        def fn(starts, ends, grids, trs, scs):
+            return jax.vmap(segment_inside_fraction)(starts, ends, grids, trs, scs)
+
+        return self._jit("pairfrac", fn)
+
+    def _skin_full_program(self):
+        """The whole device end of the skin stage in ONE program: vertex-to-
+        bone distances over a padded bone axis, K-nearest descriptor packing
+        (pack_skin_descriptors semantics, on device), SkinMotion forward,
+        scatter to the padded bone axis, smoothing, pruning."""
+        import jax
+
+        from morig_tpu.geometry.skinning import post_filter_skin, prune_and_normalize
+
+        K = self.cfg.model.nearest_bone
+
+        def fn(params, stats, bones_p, isleaf_p, bone_mask, flow, mesh):
+            import jax.numpy as jnp
+
+            Bmax = bones_p.shape[1]
+
+            def desc_one(verts, bones, isleaf, bmask):
+                Vn = verts.shape[0]
+                d, _ = point_to_segment_dist(verts, bones)          # (V, Bmax)
+                d = jnp.where(bmask[None, :], d, 1e30)
+                neg, nn = jax.lax.top_k(-d, K)                      # (V, K)
+                dk = -neg
+                ok = jnp.take_along_axis(
+                    jnp.broadcast_to(bmask[None, :], d.shape), nn, axis=1)
+                nn = jnp.where(ok, nn, nn[:, :1])                   # repeat nearest
+                dk = jnp.where(ok, dk, dk[:, :1])
+                desc = jnp.concatenate([
+                    bones[nn],                                       # (V, K, 6)
+                    (1.0 / (dk + 1e-10))[..., None],
+                    isleaf[nn].astype(jnp.float32)[..., None],
+                ], axis=-1).reshape(Vn, K * 8)
+                return desc, nn, ok.astype(jnp.float32)
+
+            desc, nn, lmask = jax.vmap(desc_one)(
+                mesh.verts, bones_p, isleaf_p, bone_mask)
+            _, _, logits = self.skin_stage.model.apply(
+                {"params": params, "batch_stats": stats}, desc, flow, mesh, False)
+            probs = jax.nn.softmax(logits, axis=-1) * lmask          # (B, V, K)
+
+            def scatter_one(p, n):
+                Vn = p.shape[0]
+                return jnp.zeros((Vn, Bmax), jnp.float32).at[
+                    jnp.arange(Vn)[:, None], n].add(p)
+
+            full = jax.vmap(scatter_one)(probs, nn)
+
+            def smooth_one(f, nbr, msk):
+                s = post_filter_skin(
+                    f, nbr, msk, num_ring=self.cfg.skin_post.post_filter_rings)
+                return prune_and_normalize(s, self.cfg.skin_post.prune_ratio_rig)
+
+            return jax.vmap(smooth_one)(full, mesh.tpl_nbr, mesh.tpl_mask)
+
+        return self._jit("skin_full", fn)
+
     def predict_rig_batch(
         self,
         mesh_entries: Sequence[dict],
@@ -212,6 +306,8 @@ class RigPredictor:
         voxes: Optional[Sequence] = None,
         geo_dists: Optional[Sequence[np.ndarray]] = None,
         max_joints: int = 48,
+        timings: Optional[dict] = None,
+        device_cache: Optional[dict] = None,
     ) -> list:
         """Full rig prediction for a batch of meshes — the throughput path.
 
@@ -228,15 +324,59 @@ class RigPredictor:
 
         Returns a list of assembled Rigs (joint2rig.py:397-510 per mesh).
         """
+        import time as _time
+
+        import jax
         import jax.numpy as jnp
 
         from morig_tpu.geometry.clustering import extract_joints_batch
 
+        t_last = [_time.perf_counter()]
+
+        def mark(name, *sync):
+            if timings is None:
+                return
+            for x in sync:
+                jax.block_until_ready(x)
+            now = _time.perf_counter()
+            timings[name] = timings.get(name, 0.0) + now - t_last[0]
+            t_last[0] = now
+
+        from morig_tpu.geometry.clustering import nms_flip_host, select_and_cluster
+
+        assert geo_dists is None, (
+            "predict_rig_batch uses the on-device euclidean point-to-segment "
+            "path; for precomputed volumetric geodesics use predict_rig per mesh"
+        )
         Bn = len(mesh_entries)
         T = pts_frames_list[0].shape[0]
+        cache = device_cache if device_cache is not None else {}
+
+        # Static per-mesh device residents (mesh tables, voxel grids) are
+        # uploaded once per distinct batch when the caller passes a
+        # device_cache — production streams each mesh to the chip once, not
+        # once per pipeline stage.
+        mesh_bt = cache.get("mesh_bt")
+        if mesh_bt is None:
+            mesh_bt = B.stack_meshes([e for e in mesh_entries for _ in range(T)])
+            cache["mesh_bt"] = mesh_bt
+        mesh_b = cache.get("mesh_b")
+        if mesh_b is None:
+            mesh_b = B.stack_meshes(list(mesh_entries))
+            cache["mesh_b"] = mesh_b
+        vox_dev = cache.get("vox")
+        if vox_dev is None and voxes is not None and all(
+            v is not None for v in voxes
+        ) and len({v.dims for v in voxes}) == 1:
+            from morig_tpu.geometry.voxel import vox_to_device
+
+            triples = [vox_to_device(v) for v in voxes]
+            vox_dev = (jnp.stack([t[0] for t in triples]),
+                       jnp.stack([t[1] for t in triples]),
+                       jnp.stack([t[2] for t in triples]))
+            cache["vox"] = vox_dev
 
         # ---- stage 1: flow at T keyframes, one (B*T) forward ----
-        mesh_bt = B.stack_meshes([e for e in mesh_entries for _ in range(T)])
         pts_bt = np.concatenate([np.asarray(p, np.float32) for p in pts_frames_list], 0)
         points = B.PointBatch(jnp.asarray(pts_bt),
                               jnp.ones(pts_bt.shape[:2], bool))
@@ -247,97 +387,114 @@ class RigPredictor:
         flow = jnp.transpose(
             jnp.reshape(flow_bt, (Bn, T, V, 3)), (0, 2, 1, 3)
         ).reshape(Bn, V, T * 3)                                # (B, V, 3T)
+        mark("flow", flow)
 
-        # ---- stages 2-3: shifted points + attention -> joints ----
-        mesh_b = B.stack_meshes(list(mesh_entries))
+        # ---- stages 2-3: joints.  Two chained device programs (no host
+        # sync between them), one batched download, host NMS/flip tail ----
         shifted, attn = self._jointmask_program()(
             self.joint_state.params, self.joint_state.batch_stats,
             self.mask_state.params, self.mask_state.batch_stats,
             flow, mesh_b)
         jc = self.cfg.joints
-        inside_fns = None
-        if voxes is not None:
-            inside_fns = [
-                (lambda p, v=v: inside_check_np(p, v)) if v is not None else None
-                for v in voxes
-            ]
-        joints_list = extract_joints_batch(
-            np.asarray(shifted), np.asarray(attn), np.asarray(mesh_b.vert_mask),
-            inside_fns=inside_fns,
-            bandwidth_quantile=jc.bandwidth_quantile,
-            attn_keep_threshold=jc.attn_threshold,
+        grid, tr, sc = vox_dev if vox_dev is not None else (None, None, None)
+        cluster_out = select_and_cluster(
+            shifted, attn, mesh_b.vert_mask, grid, tr, sc,
+            quantile=jc.bandwidth_quantile, num_iter=jc.meanshift_max_iter,
+            attn_threshold=jc.attn_threshold, symmetrize=True,
+            has_vox=vox_dev is not None)
+        moved, bws, counts, attn2, sel2 = jax.device_get(cluster_out)
+        mark("jointcluster_device")
+        joints_list = nms_flip_host(
+            moved, bws, counts, attn2, sel2,
             density_threshold=jc.density_threshold,
-            attn_nms_threshold=jc.attn_nms_threshold,
-            meanshift_iters=jc.meanshift_max_iter,
-        )
+            attn_nms_threshold=jc.attn_nms_threshold, symmetrize=True)
         for i, j in enumerate(joints_list):
             if len(j) == 0:
                 vmask = np.asarray(mesh_entries[i]["vert_mask"])
                 joints_list[i] = mesh_entries[i]["verts"][vmask].mean(0, keepdims=True)
             elif len(j) > max_joints:
                 joints_list[i] = j[:max_joints]
+        mark("nms_host")
 
-        # ---- stage 4: skeletons (batched nets, host MST per mesh) ----
+        # ---- stage 4: skeletons.  Pair fractions for ALL meshes in one
+        # device call; nets batched; MST pure numpy ----
+        pair_fracs = None
+        max_pairs = max_joints * (max_joints - 1) // 2
+        if vox_dev is not None:
+            starts = np.zeros((Bn, max_pairs, 3), np.float32)
+            ends = np.zeros((Bn, max_pairs, 3), np.float32)
+            import itertools as _it
+
+            pairs_np = []
+            for i in range(Bn):
+                j = joints_list[i]
+                pr = np.array(list(_it.combinations(range(len(j)), 2)),
+                              np.int32).reshape(-1, 2)[:max_pairs]
+                pairs_np.append(pr)
+                starts[i, :len(pr)] = j[pr[:, 0]]
+                ends[i, :len(pr)] = j[pr[:, 1]]
+            fr = np.asarray(self._pairfrac_program()(
+                jnp.asarray(starts), jnp.asarray(ends), *vox_dev))
+            pair_fracs = [fr[i] for i in range(Bn)]
         sample = build_skel_sample(
             list(mesh_entries), joints_list,
-            voxes=list(voxes) if voxes is not None else None,
-            max_joints=max_joints)
-        root_logits = np.asarray(self.root_stage.infer(self.root_state, sample))[..., 0]
-        pair_logits = np.asarray(self.bone_stage.infer(self.bone_state, sample))[..., 0]
+            voxes=None,                      # fracs precomputed above
+            max_joints=max_joints, pair_fracs=pair_fracs,
+            mesh_batch=mesh_b)               # device-resident tables, no re-upload
+        mark("skel_sample")
+        root_raw, pair_raw = jax.device_get(self._rootbone_program()(
+            self.root_state.params, self.root_state.batch_stats,
+            self.bone_state.params, self.bone_state.batch_stats, sample))
+        root_logits = root_raw[..., 0]
+        pair_logits = pair_raw[..., 0]
+        joints_mask_h = np.asarray(sample.joints_mask)
+        pairs_h = np.asarray(sample.pairs)
+        pmask_h = np.asarray(sample.pair_mask)
+        mark("rootbone")
         skels = []
         for i in range(Bn):
             joints = joints_list[i]
             J = len(joints)
             rl = root_logits[i].copy()
-            rl[~np.asarray(sample.joints_mask[i])] = -np.inf
+            rl[~joints_mask_h[i]] = -np.inf
             root_id = int(np.argmax(rl))
-            pairs = np.asarray(sample.pairs[i])
-            pmask = np.asarray(sample.pair_mask[i])
             prob = np.zeros((J, J))
-            pr = pairs[pmask]
-            prob[pr[:, 0], pr[:, 1]] = 1.0 / (1.0 + np.exp(-pair_logits[i][pmask]))
+            pr = pairs_h[i][pmask_h[i]]
+            prob[pr[:, 0], pr[:, 1]] = 1.0 / (1.0 + np.exp(-pair_logits[i][pmask_h[i]]))
             prob = prob + prob.T
             cost = -np.log(prob + 1e-10)
             parents = sk.prim_mst(cost, root_id)
             skels.append(sk.rig_from_parents(joints, parents))
+        mark("mst")
 
-        # ---- stage 5: skinning (batched net + vmapped smoothing) ----
-        K = self.cfg.model.nearest_bone
-        descs = np.zeros((Bn, V, K * 8), np.float32)
-        nns = []
-        lmasks = []
+        # ---- stage 5: skinning.  Bones padded to a fixed axis; distances,
+        # descriptor packing, SkinMotion, scatter, smoothing and pruning all
+        # in ONE device program; one download; numpy assembly ----
+        Bmax = 2 * max_joints                     # get_bones <= 2*(J-1) bones
+        bones_p = np.zeros((Bn, Bmax, 6), np.float32)
+        isleaf_p = np.zeros((Bn, Bmax), np.float32)
+        bone_mask = np.zeros((Bn, Bmax), bool)
         bones_list = []
         for i in range(Bn):
-            verts = np.asarray(mesh_b.verts[i])
             bones, _, isleaf = sk.get_bones(skels[i])
-            gd = geo_dists[i] if geo_dists is not None else None
-            if gd is None:
-                d, _ = point_to_segment_dist(
-                    jnp.asarray(verts, jnp.float32), jnp.asarray(bones, jnp.float32))
-                gd = np.asarray(d)
-            desc, nn, lmask = pack_skin_descriptors(gd, bones, isleaf, K)
-            descs[i] = desc
-            nns.append(nn)
-            lmasks.append(lmask)
-            bones_list.append(bones)
-        probs = np.asarray(self._skin_program()(
+            nb = min(len(bones), Bmax)
+            bones_p[i, :nb] = bones[:nb]
+            isleaf_p[i, :nb] = np.asarray(isleaf[:nb], np.float32)
+            bone_mask[i, :nb] = True
+            bones_list.append(bones[:nb])
+        pruned = np.asarray(self._skin_full_program()(
             self.skin_state.params, self.skin_state.batch_stats,
-            jnp.asarray(descs), flow, mesh_b))                  # (B, V, K)
+            jnp.asarray(bones_p), jnp.asarray(isleaf_p), jnp.asarray(bone_mask),
+            flow, mesh_b))                                      # (B, V, Bmax)
+        mark("skin_device")
 
         rigs = []
         for i in range(Bn):
-            vmask = np.asarray(mesh_b.vert_mask[i])
-            p = probs[i] * lmasks[i]
-            full = np.zeros((V, len(bones_list[i])))
-            rows = np.repeat(np.arange(V), K)
-            np.add.at(full, (rows, nns[i].reshape(-1)), p.reshape(-1))
-            smoothed = np.asarray(post_filter_skin(
-                jnp.asarray(full, jnp.float32), mesh_b.tpl_nbr[i], mesh_b.tpl_mask[i],
-                num_ring=self.cfg.skin_post.post_filter_rings))
-            pruned = np.asarray(prune_and_normalize(
-                jnp.asarray(smoothed), self.cfg.skin_post.prune_ratio_rig))
-            rig = sk.assemble_skel_skin(skels[i], pruned[vmask])
+            vmask = np.asarray(mesh_entries[i]["vert_mask"])
+            nb = len(bones_list[i])
+            rig = sk.assemble_skel_skin(skels[i], pruned[i][vmask][:, :nb])
             rigs.append(sk.remove_duplicate_joints(rig))
+        mark("assemble")
         return rigs
 
 
