@@ -78,8 +78,12 @@ def main():
     V_raw = pose_ds.models[0].vtx_traj.shape[0]
     PAD = max(256, ((V_raw + 255) // 256) * 256)     # pallas tile multiple
 
+    # degree-12 tables: the fixture's real one-ring/geodesic degrees are <= 8
+    # except the two capsule poles (36, truncated at any width); slimmer
+    # tables cut every edge op proportionally
     entries = [
-        B.build_mesh(m.vtx_traj[:, 0, :], m.tpl_edges, m.geo_edges, pad_verts=PAD)
+        B.build_mesh(m.vtx_traj[:, 0, :], m.tpl_edges, m.geo_edges, pad_verts=PAD,
+                     tpl_max_degree=12, geo_max_degree=12)
         for m in pose_ds.models
     ]
     pts_frames_list = [
@@ -88,15 +92,23 @@ def main():
     cap = make_capsule_rig(kw["n_lat"], kw["n_lon"])
     vox = voxelize_mesh(cap.verts, cap.faces, dims=vox_dims)
     voxes = [vox] * Bn
+    track_seq = make_capsule_sequence(num_frames=track_frames, max_bend=0.5,
+                                      partial=False, seed=5, **kw)
+    track_entry = B.build_mesh(cap.verts, track_seq["tpl_edges"],
+                               track_seq["geo_edges"], PAD,
+                               tpl_max_degree=12, geo_max_degree=12)
 
     if not args.smoke:
         from morig_tpu.kernels.edge_fused import check_neighbor_locality
         from morig_tpu.nn import gcu
 
+        TILE = 128        # narrow halo: RCM index bandwidth of the fixture fits
         local = all(
-            check_neighbor_locality(np.asarray(e[k])[None])
-            for e in entries for k in ("tpl_nbr", "geo_nbr")
+            check_neighbor_locality(np.asarray(e[k])[None], tile_v=TILE)
+            for e in entries + [track_entry] for k in ("tpl_nbr", "geo_nbr")
         )
+        if local:
+            gcu.set_edge_tile(TILE)
         gcu.set_edge_impl("windowed" if local else "fused")
 
     # states: parameters are shape-independent; init on a small fixture
@@ -152,12 +164,10 @@ def main():
     mfu_rig = flops_iter / dt / (args.peak_tflops * 1e12)
 
     # ---- phase B: tracking ----
-    seq = make_capsule_sequence(num_frames=track_frames, max_bend=0.5,
-                                partial=False, seed=5, **kw)
+    seq = track_seq
     track_rig = sk.Rig(names=list(cap.names), pos=cap.joints.astype(float),
                        parents=cap.parents, skins=cap.skins)
-    entry = B.build_mesh(cap.verts, seq["tpl_edges"], seq["geo_edges"], PAD)
-    tracker = Tracker(deform, predictor.deform_state, track_rig, entry)
+    tracker = Tracker(deform, predictor.deform_state, track_rig, track_entry)
     run_scanned = make_scanned_tracker(tracker)
     traj, _, _ = run_scanned(cap.verts, seq["pts_traj"])      # compile
     t0 = time.perf_counter()

@@ -347,15 +347,21 @@ def prim_mst_symmetry(cost: np.ndarray, root: int, joints: np.ndarray,
 
 
 def increase_cost_for_outside_bone(cost: np.ndarray, joints: np.ndarray,
-                                   inside_frac_fn, tol: float = 2e-2) -> np.ndarray:
+                                   inside_frac_fn=None, tol: float = 2e-2,
+                                   frac: np.ndarray | None = None) -> np.ndarray:
     """Penalize candidate bones leaving the volume; halve cost between
     middle-plane joints (mst_utils.py:269-291).  `inside_frac_fn(starts, ends)`
     returns the in-volume sample fraction per segment (e.g. the vmapped voxel
-    line test, geometry/voxel.py), so the whole J² pair set is one device call."""
+    line test, geometry/voxel.py), so the whole J² pair set is one device call;
+    alternatively pass precomputed `frac` per upper-triangle pair (row-major,
+    the combinations/triu order)."""
     J = len(joints)
     ii, jj = np.triu_indices(J, k=1)
     starts, ends = joints[ii], joints[jj]
-    frac = np.asarray(inside_frac_fn(starts, ends))
+    if frac is None:
+        frac = np.asarray(inside_frac_fn(starts, ends))
+    else:
+        frac = np.asarray(frac)[: len(ii)]
     seg_len = np.linalg.norm(ends - starts, axis=1)
     num_samples = np.maximum(np.round(seg_len / 0.01), 1)
     outside = (1.0 - frac) * num_samples

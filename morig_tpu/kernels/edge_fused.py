@@ -37,8 +37,33 @@ def _ln(h, scale, bias):
     return (h - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
 
 
+def _edge_tail(a, gathered, mask_dv, w2, b2, g1, be1, g2, be2, degree, TV, H2):
+    """Shared tail: per-edge MLP on degree-major flattened rows + masked max.
+
+    a (TV,H1) fp32; gathered (D*TV, H1) fp32 (row d*TV+v = features of
+    neighbor d of vertex v); mask_dv (D,TV) int32.  Mosaic note: sublane-axis
+    concatenation and static slices are used instead of (D,TV)<->(D*TV,)
+    reshapes, which its layout inference rejects."""
+    a_rep = jnp.concatenate([a] * degree, axis=0)          # (D*TV, H1)
+    h = jnp.maximum(a_rep + gathered, 0.0)
+    h = _ln(h, g1, be1)
+    h2 = jnp.dot(h.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2, 0.0)
+    h2 = _ln(h2, g2, be2)
+    acc = jnp.full((TV, H2), -1e30, jnp.float32)
+    n_valid = jnp.zeros((TV, 1), jnp.int32)
+    for d in range(degree):
+        m = mask_dv[d, :].reshape(TV, 1)
+        acc = jnp.where(m > 0, jnp.maximum(acc, h2[d * TV:(d + 1) * TV]), acc)
+        n_valid = n_valid + m
+    return jnp.where(n_valid > 0, acc, 0.0)
+
+
 def _kernel(a_ref, btab_ref, nbr_ref, mask_ref, w2_ref, b2_ref,
             g1_ref, be1_ref, g2_ref, be2_ref, out_ref, *, degree):
+    # ONE (D*TV, V) one-hot matmul gathers every edge of the tile at once —
+    # large MXU ops instead of `degree` small ones (the small-matmul version
+    # was pipeline-overhead-bound at ~2% MFU).
     a = a_ref[0].astype(jnp.float32)                       # (TV,H1)
     btab = btab_ref[0]                                     # (V,H1) bf16
     TV = a.shape[0]
@@ -49,22 +74,13 @@ def _kernel(a_ref, btab_ref, nbr_ref, mask_ref, w2_ref, b2_ref,
     w2 = w2_ref[:]
     b2 = b2_ref[0].astype(jnp.float32)
 
-    acc = jnp.full((TV, H2), -1e30, jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (TV, V), 1)
-    n_valid = jnp.zeros((TV, 1), jnp.int32)
-    for d in range(degree):
-        idx = nbr_ref[0, d, :].reshape(TV, 1)              # int32 (TV,1)
-        onehot = (col == idx).astype(jnp.bfloat16)
-        gathered = jnp.dot(onehot, btab, preferred_element_type=jnp.float32)
-        h = jnp.maximum(a + gathered, 0.0)
-        h = _ln(h, g1, be1)
-        h2 = jnp.dot(h.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
-        h2 = jnp.maximum(h2 + b2, 0.0)
-        h2 = _ln(h2, g2, be2)
-        m = mask_ref[0, d, :].reshape(TV, 1)               # int32 (TV,1)
-        acc = jnp.where(m > 0, jnp.maximum(acc, h2), acc)
-        n_valid = n_valid + m
-    out_ref[0] = jnp.where(n_valid > 0, acc, 0.0)
+    onehot = jnp.concatenate([
+        (col == nbr_ref[0, d, :].reshape(TV, 1)) for d in range(degree)
+    ], axis=0).astype(jnp.bfloat16)                        # (D*TV, V)
+    gathered = jnp.dot(onehot, btab, preferred_element_type=jnp.float32)
+    out_ref[0] = _edge_tail(a, gathered, mask_ref[0], w2, b2,
+                            g1, be1, g2, be2, degree, TV, H2)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
@@ -147,22 +163,13 @@ def _kernel_windowed(a_ref, w0_ref, w1_ref, w2blk_ref, nbr_ref, mask_ref,
 
     i = pl.program_id(1)
     ws = jnp.clip(i - 1, 0, num_blocks - 3) * tile_v      # window start row
-    acc = jnp.full((TV, H2), -1e30, jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (TV, 3 * tile_v), 1)
-    n_valid = jnp.zeros((TV, 1), jnp.int32)
-    for d in range(degree):
-        idx = nbr_ref[0, d, :].reshape(TV, 1) - ws
-        onehot = (col == idx).astype(jnp.bfloat16)
-        gathered = jnp.dot(onehot, window, preferred_element_type=jnp.float32)
-        h = jnp.maximum(a + gathered, 0.0)
-        h = _ln(h, g1, be1)
-        h2 = jnp.dot(h.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
-        h2 = jnp.maximum(h2 + b2, 0.0)
-        h2 = _ln(h2, g2, be2)
-        m = mask_ref[0, d, :].reshape(TV, 1)
-        acc = jnp.where(m > 0, jnp.maximum(acc, h2), acc)
-        n_valid = n_valid + m
-    out_ref[0] = jnp.where(n_valid > 0, acc, 0.0)
+    onehot = jnp.concatenate([
+        (col == (nbr_ref[0, d, :].reshape(TV, 1) - ws)) for d in range(degree)
+    ], axis=0).astype(jnp.bfloat16)                        # (D*TV, 3TV)
+    gathered = jnp.dot(onehot, window, preferred_element_type=jnp.float32)
+    out_ref[0] = _edge_tail(a, gathered, mask_ref[0], w2, b2,
+                            g1, be1, g2, be2, degree, TV, H2)
 
 
 def check_neighbor_locality(nbr: np.ndarray, tile_v: int = 256) -> bool:

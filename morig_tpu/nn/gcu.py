@@ -39,6 +39,21 @@ def gather_nbrs(x: jax.Array, nbr: jax.Array) -> jax.Array:
 
 
 _EDGE_IMPL = "auto"
+_EDGE_TILE = 256
+
+
+def set_edge_tile(n: int) -> None:
+    """Vertex tile size for the fused kernels.  Smaller tiles shrink the
+    windowed kernel's gather width (3*tile rows) proportionally — profitable
+    whenever the mesh's RCM index bandwidth fits the halo
+    (check_neighbor_locality(nbr, tile_v=n))."""
+    global _EDGE_TILE
+    assert n % 8 == 0 and n > 0
+    _EDGE_TILE = n
+
+
+def get_edge_tile() -> int:
+    return _EDGE_TILE
 
 
 def set_edge_impl(name: str) -> None:
@@ -59,7 +74,8 @@ def get_edge_impl() -> str:
     return _EDGE_IMPL
 
 
-def _fusable(channels, V, H1, H2, tile_v=256):
+def _fusable(channels, V, H1, H2, tile_v=None):
+    tile_v = tile_v or _EDGE_TILE
     if get_default_norm() != "layer" or len(channels) != 2:
         return False
     if H1 < 128 or H1 % 128 or H2 % 128 or V % tile_v:
@@ -140,13 +156,14 @@ class EdgeMLP(nn.Module):
             if use_fused:
                 from morig_tpu.kernels import edge_fused as ef
 
-                windowed = impl == "windowed" and V // 256 >= 3
+                tile = _EDGE_TILE
+                windowed = impl == "windowed" and V // tile >= 3
                 args = (a.astype(jnp.float32), b.astype(jnp.float32),
                         nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
                 if train:
                     return ef.fused_edge_mlp_trainable(*args, windowed, False)
                 fn = ef.fused_edge_mlp_windowed if windowed else ef.fused_edge_mlp
-                return fn(*args)
+                return fn(*args, tile_v=tile)
 
             from morig_tpu.kernels.edge_fused import _ln
 

@@ -21,7 +21,6 @@ import numpy as np
 
 from morig_tpu.core import batch as B
 from morig_tpu.core.config import Config, DEFAULT_CONFIG
-from morig_tpu.data.skeleton_data import build_skel_sample
 from morig_tpu.geometry import skeleton as sk
 from morig_tpu.geometry.bones import pack_skin_descriptors, point_to_segment_dist
 from morig_tpu.geometry.clustering import extract_joints
@@ -204,19 +203,6 @@ class RigPredictor:
 
         return self._jit("skin", fn)
 
-    def _rootbone_program(self):
-        def fn(rparams, rstats, bparams, bstats, sample):
-            root_logits = self.root_stage.model.apply(
-                {"params": rparams, "batch_stats": rstats},
-                sample.mesh, sample.joints, sample.joints_mask, False)
-            pair_logits = self.bone_stage.model.apply(
-                {"params": bparams, "batch_stats": bstats},
-                sample.mesh, sample.joints, sample.joints_mask,
-                sample.pairs, sample.pair_attr, False)
-            return root_logits, pair_logits
-
-        return self._jit("rootbone", fn)
-
     def _smooth_program(self):
         """Batched skin smoothing + pruning at a fixed padded bone count."""
         import jax
@@ -233,16 +219,81 @@ class RigPredictor:
 
         return self._jit("smooth", fn)
 
-    def _pairfrac_program(self):
-        """Batched segment-inside fractions for all meshes' joint pairs."""
+    def _joints_all_program(self, has_vox: bool):
+        """Joint/mask nets + the whole device end of joint extraction fused
+        into one dispatch; outputs packed into a single (B, N, 6) array +
+        (B,) bandwidths so the host pays ONE fetch round trip."""
         import jax
+        import jax.numpy as jnp
+
+        from morig_tpu.geometry.clustering import select_and_cluster
+
+        jc = self.cfg.joints
+
+        def fn(jparams, jstats, mparams, mstats, flow, mesh, grid, tr, sc):
+            _, _, shift = self.joint_stage.model.apply(
+                {"params": jparams, "batch_stats": jstats}, flow, mesh, False)
+            _, _, attn = self.mask_stage.model.apply(
+                {"params": mparams, "batch_stats": mstats}, flow, mesh, False)
+            shifted = mesh.verts + jnp.tanh(shift)
+            attn_p = jax.nn.sigmoid(attn[..., 0])
+            moved, bw, counts, attn2, sel2 = select_and_cluster(
+                shifted, attn_p, mesh.vert_mask, grid, tr, sc,
+                quantile=jc.bandwidth_quantile, num_iter=jc.meanshift_max_iter,
+                attn_threshold=jc.attn_threshold, symmetrize=True,
+                has_vox=has_vox)
+            packed = jnp.concatenate([
+                moved,
+                counts[..., None].astype(jnp.float32),
+                attn2[..., None].astype(jnp.float32),
+                sel2[..., None].astype(jnp.float32),
+            ], axis=-1)
+            return packed, bw
+
+        return self._jit(f"joints_all_vox{int(has_vox)}", fn)
+
+    def _skelnets_program(self, has_vox: bool, max_joints: int):
+        """Pair building, pair attributes (dist + voxel inside-fraction), and
+        the RootNet/BoneNet forwards in one dispatch over padded joints.
+
+        The candidate pair table for `max_joints` slots is a compile-time
+        constant; pairs touching padded joint slots produce garbage logits
+        that the host masks by the true per-mesh joint count.  Output is one
+        (B, J + P) array: [root logits | pair logits]."""
+        import itertools
+
+        import jax
+        import jax.numpy as jnp
 
         from morig_tpu.geometry.voxel import segment_inside_fraction
 
-        def fn(starts, ends, grids, trs, scs):
-            return jax.vmap(segment_inside_fraction)(starts, ends, grids, trs, scs)
+        pairs_const = np.array(
+            list(itertools.combinations(range(max_joints), 2)), np.int32)
 
-        return self._jit("pairfrac", fn)
+        def fn(rparams, rstats, bparams, bstats, joints, jmask, mesh,
+               grid, tr, sc):
+            Bn = joints.shape[0]
+            pt = jnp.asarray(pairs_const)
+            a = joints[:, pt[:, 0]]                      # (B, P, 3)
+            b = joints[:, pt[:, 1]]
+            dist = jnp.linalg.norm(a - b, axis=-1)
+            if has_vox:
+                frac = jax.vmap(segment_inside_fraction)(a, b, grid, tr, sc)
+            else:
+                frac = jnp.ones_like(dist)
+            attr = jnp.stack([dist, frac], axis=-1)
+            pairs_b = jnp.broadcast_to(pt[None], (Bn,) + pt.shape)
+            root_logits = self.root_stage.model.apply(
+                {"params": rparams, "batch_stats": rstats},
+                mesh, joints, jmask, False)
+            pair_logits = self.bone_stage.model.apply(
+                {"params": bparams, "batch_stats": bstats},
+                mesh, joints, jmask, pairs_b, attr, False)
+            # [root | pair logits | pair inside-fractions] in one fetch
+            return jnp.concatenate([root_logits[..., 0], pair_logits[..., 0],
+                                    frac], axis=1)
+
+        return self._jit(f"skelnets_vox{int(has_vox)}_{max_joints}", fn)
 
     def _skin_full_program(self):
         """The whole device end of the skin stage in ONE program: vertex-to-
@@ -255,9 +306,13 @@ class RigPredictor:
 
         K = self.cfg.model.nearest_bone
 
-        def fn(params, stats, bones_p, isleaf_p, bone_mask, flow, mesh):
+        def fn(params, stats, bones_packed, flow, mesh):
             import jax.numpy as jnp
 
+            # one packed upload: [6 endpoint coords | isleaf | valid]
+            bones_p = bones_packed[..., :6]
+            isleaf_p = bones_packed[..., 6]
+            bone_mask = bones_packed[..., 7] > 0.5
             Bmax = bones_p.shape[1]
 
             def desc_one(verts, bones, isleaf, bmask):
@@ -342,7 +397,7 @@ class RigPredictor:
             timings[name] = timings.get(name, 0.0) + now - t_last[0]
             t_last[0] = now
 
-        from morig_tpu.geometry.clustering import nms_flip_host, select_and_cluster
+        from morig_tpu.geometry.clustering import nms_flip_host
 
         assert geo_dists is None, (
             "predict_rig_batch uses the on-device euclidean point-to-segment "
@@ -389,20 +444,17 @@ class RigPredictor:
         ).reshape(Bn, V, T * 3)                                # (B, V, 3T)
         mark("flow", flow)
 
-        # ---- stages 2-3: joints.  Two chained device programs (no host
-        # sync between them), one batched download, host NMS/flip tail ----
-        shifted, attn = self._jointmask_program()(
-            self.joint_state.params, self.joint_state.batch_stats,
-            self.mask_state.params, self.mask_state.batch_stats,
-            flow, mesh_b)
+        # ---- stages 2-3: joints.  Nets + clustering fused in one dispatch,
+        # outputs packed -> ONE fetch; host NMS/flip tail ----
         jc = self.cfg.joints
         grid, tr, sc = vox_dev if vox_dev is not None else (None, None, None)
-        cluster_out = select_and_cluster(
-            shifted, attn, mesh_b.vert_mask, grid, tr, sc,
-            quantile=jc.bandwidth_quantile, num_iter=jc.meanshift_max_iter,
-            attn_threshold=jc.attn_threshold, symmetrize=True,
-            has_vox=vox_dev is not None)
-        moved, bws, counts, attn2, sel2 = jax.device_get(cluster_out)
+        packed, bw_dev = self._joints_all_program(vox_dev is not None)(
+            self.joint_state.params, self.joint_state.batch_stats,
+            self.mask_state.params, self.mask_state.batch_stats,
+            flow, mesh_b, grid, tr, sc)
+        arr, bws = jax.device_get((packed, bw_dev))
+        moved, counts = arr[..., 0:3], arr[..., 3]
+        attn2, sel2 = arr[..., 4], arr[..., 5] > 0.5
         mark("jointcluster_device")
         joints_list = nms_flip_host(
             moved, bws, counts, attn2, sel2,
@@ -416,76 +468,63 @@ class RigPredictor:
                 joints_list[i] = j[:max_joints]
         mark("nms_host")
 
-        # ---- stage 4: skeletons.  Pair fractions for ALL meshes in one
-        # device call; nets batched; MST pure numpy ----
-        pair_fracs = None
-        max_pairs = max_joints * (max_joints - 1) // 2
-        if vox_dev is not None:
-            starts = np.zeros((Bn, max_pairs, 3), np.float32)
-            ends = np.zeros((Bn, max_pairs, 3), np.float32)
-            import itertools as _it
+        # ---- stage 4: skeletons.  Pair table is a compile-time constant;
+        # attrs + RootNet/BoneNet in one dispatch, one packed fetch, MST in
+        # numpy ----
+        import itertools as _it
 
-            pairs_np = []
-            for i in range(Bn):
-                j = joints_list[i]
-                pr = np.array(list(_it.combinations(range(len(j)), 2)),
-                              np.int32).reshape(-1, 2)[:max_pairs]
-                pairs_np.append(pr)
-                starts[i, :len(pr)] = j[pr[:, 0]]
-                ends[i, :len(pr)] = j[pr[:, 1]]
-            fr = np.asarray(self._pairfrac_program()(
-                jnp.asarray(starts), jnp.asarray(ends), *vox_dev))
-            pair_fracs = [fr[i] for i in range(Bn)]
-        sample = build_skel_sample(
-            list(mesh_entries), joints_list,
-            voxes=None,                      # fracs precomputed above
-            max_joints=max_joints, pair_fracs=pair_fracs,
-            mesh_batch=mesh_b)               # device-resident tables, no re-upload
-        mark("skel_sample")
-        root_raw, pair_raw = jax.device_get(self._rootbone_program()(
+        joints_p = np.zeros((Bn, max_joints, 3), np.float32)
+        jmask = np.zeros((Bn, max_joints), bool)
+        for i, j in enumerate(joints_list):
+            joints_p[i, :len(j)] = j
+            jmask[i, :len(j)] = True
+        logits = np.asarray(self._skelnets_program(
+            vox_dev is not None, max_joints)(
             self.root_state.params, self.root_state.batch_stats,
-            self.bone_state.params, self.bone_state.batch_stats, sample))
-        root_logits = root_raw[..., 0]
-        pair_logits = pair_raw[..., 0]
-        joints_mask_h = np.asarray(sample.joints_mask)
-        pairs_h = np.asarray(sample.pairs)
-        pmask_h = np.asarray(sample.pair_mask)
+            self.bone_state.params, self.bone_state.batch_stats,
+            jnp.asarray(joints_p), jnp.asarray(jmask), mesh_b, grid, tr, sc))
+        max_pairs = max_joints * (max_joints - 1) // 2
+        root_logits = logits[:, :max_joints]
+        pair_logits = logits[:, max_joints:max_joints + max_pairs]
+        pair_frac = logits[:, max_joints + max_pairs:]
+        pairs_const = np.array(
+            list(_it.combinations(range(max_joints), 2)), np.int32)
         mark("rootbone")
         skels = []
         for i in range(Bn):
             joints = joints_list[i]
             J = len(joints)
-            rl = root_logits[i].copy()
-            rl[~joints_mask_h[i]] = -np.inf
+            rl = root_logits[i][:J]
             root_id = int(np.argmax(rl))
+            ok = (pairs_const[:, 0] < J) & (pairs_const[:, 1] < J)
+            pr = pairs_const[ok]
             prob = np.zeros((J, J))
-            pr = pairs_h[i][pmask_h[i]]
-            prob[pr[:, 0], pr[:, 1]] = 1.0 / (1.0 + np.exp(-pair_logits[i][pmask_h[i]]))
+            prob[pr[:, 0], pr[:, 1]] = 1.0 / (1.0 + np.exp(-pair_logits[i][ok]))
             prob = prob + prob.T
             cost = -np.log(prob + 1e-10)
+            if vox_dev is not None:
+                cost = sk.increase_cost_for_outside_bone(
+                    cost, joints, frac=pair_frac[i][ok])
             parents = sk.prim_mst(cost, root_id)
             skels.append(sk.rig_from_parents(joints, parents))
         mark("mst")
 
-        # ---- stage 5: skinning.  Bones padded to a fixed axis; distances,
+        # ---- stage 5: skinning.  One packed bones upload; distances,
         # descriptor packing, SkinMotion, scatter, smoothing and pruning all
         # in ONE device program; one download; numpy assembly ----
         Bmax = 2 * max_joints                     # get_bones <= 2*(J-1) bones
-        bones_p = np.zeros((Bn, Bmax, 6), np.float32)
-        isleaf_p = np.zeros((Bn, Bmax), np.float32)
-        bone_mask = np.zeros((Bn, Bmax), bool)
+        bones_packed = np.zeros((Bn, Bmax, 8), np.float32)
         bones_list = []
         for i in range(Bn):
             bones, _, isleaf = sk.get_bones(skels[i])
             nb = min(len(bones), Bmax)
-            bones_p[i, :nb] = bones[:nb]
-            isleaf_p[i, :nb] = np.asarray(isleaf[:nb], np.float32)
-            bone_mask[i, :nb] = True
+            bones_packed[i, :nb, :6] = bones[:nb]
+            bones_packed[i, :nb, 6] = np.asarray(isleaf[:nb], np.float32)
+            bones_packed[i, :nb, 7] = 1.0
             bones_list.append(bones[:nb])
         pruned = np.asarray(self._skin_full_program()(
             self.skin_state.params, self.skin_state.batch_stats,
-            jnp.asarray(bones_p), jnp.asarray(isleaf_p), jnp.asarray(bone_mask),
-            flow, mesh_b))                                      # (B, V, Bmax)
+            jnp.asarray(bones_packed), flow, mesh_b))           # (B, V, Bmax)
         mark("skin_device")
 
         rigs = []

@@ -130,3 +130,15 @@ def test_locality_checker_rejects_nonlocal():
     nbr = rng.integers(0, 1024, size=(1, 1024, 4)).astype(np.int32)
     nbr[0, 0, 0] = 1023          # block 0 -> block 3: outside the 3-block halo
     assert not ef.check_neighbor_locality(nbr)
+
+
+def test_windowed_tv128_parity_interpret():
+    """Narrow-tile windowed variant (TV=128, halo 384): same oracle parity,
+    including boundary clipping over NB=8 blocks."""
+    rng = np.random.default_rng(5)
+    args = make_inputs(rng, B=1, V=1024, D=4, H1=128, H2=128, local=True,
+                       tile_v=128)
+    assert ef.check_neighbor_locality(np.asarray(args[2]), tile_v=128)
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp_windowed(*args, tile_v=128, interpret=True)
+    _assert_close(got, ref, args[3])

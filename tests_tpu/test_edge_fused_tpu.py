@@ -39,3 +39,13 @@ def test_trainable_grad_parity_tpu():
 
 def test_trainable_grad_parity_windowed_tpu():
     run_grad_parity(interpret=False, windowed=True)
+
+
+def test_windowed_tv128_bench_shapes():
+    rng = np.random.default_rng(12)
+    args = make_inputs(rng, B=2, V=1536, D=12, H1=128, H2=256, local=True,
+                       tile_v=128)
+    assert ef.check_neighbor_locality(np.asarray(args[2]), tile_v=128)
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp_windowed(*args, tile_v=128)
+    _assert_close(got, ref, args[3])
