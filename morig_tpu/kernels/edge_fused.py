@@ -31,13 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 LN_EPS = 1e-6
 
 
-def _ln(h, scale, bias):
-    mu = jnp.mean(h, axis=-1, keepdims=True)
-    var = jnp.mean((h - mu) * (h - mu), axis=-1, keepdims=True)
+def _ln(h, scale, bias, n_true=None):
+    """LayerNorm; with `n_true`, statistics cover only the first n_true
+    channels (the rest are zero lane padding whose scale/bias are zero, so
+    their outputs stay exactly 0)."""
+    if n_true is None:
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean((h - mu) * (h - mu), axis=-1, keepdims=True)
+    else:
+        mu = jnp.sum(h, axis=-1, keepdims=True) / n_true
+        var = jnp.maximum(
+            jnp.sum(h * h, axis=-1, keepdims=True) / n_true - mu * mu, 0.0)
     return (h - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
 
 
-def _edge_tail(a, gathered, mask_dv, w2, b2, g1, be1, g2, be2, degree, TV, H2):
+def _edge_tail(a, gathered, mask_dv, w2, b2, g1, be1, g2, be2, degree, TV, H2,
+               h1_true=None, h2_true=None):
     """Shared tail: per-edge MLP on degree-major flattened rows + masked max.
 
     a (TV,H1) fp32; gathered (D*TV, H1) fp32 (row d*TV+v = features of
@@ -46,10 +55,10 @@ def _edge_tail(a, gathered, mask_dv, w2, b2, g1, be1, g2, be2, degree, TV, H2):
     reshapes, which its layout inference rejects."""
     a_rep = jnp.concatenate([a] * degree, axis=0)          # (D*TV, H1)
     h = jnp.maximum(a_rep + gathered, 0.0)
-    h = _ln(h, g1, be1)
+    h = _ln(h, g1, be1, h1_true)
     h2 = jnp.dot(h.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
     h2 = jnp.maximum(h2 + b2, 0.0)
-    h2 = _ln(h2, g2, be2)
+    h2 = _ln(h2, g2, be2, h2_true)
     acc = jnp.full((TV, H2), -1e30, jnp.float32)
     n_valid = jnp.zeros((TV, 1), jnp.int32)
     for d in range(degree):
@@ -60,7 +69,8 @@ def _edge_tail(a, gathered, mask_dv, w2, b2, g1, be1, g2, be2, degree, TV, H2):
 
 
 def _kernel(a_ref, btab_ref, nbr_ref, mask_ref, w2_ref, b2_ref,
-            g1_ref, be1_ref, g2_ref, be2_ref, out_ref, *, degree):
+            g1_ref, be1_ref, g2_ref, be2_ref, out_ref, *, degree,
+            h1_true=None, h2_true=None):
     # ONE (D*TV, V) one-hot matmul gathers every edge of the tile at once —
     # large MXU ops instead of `degree` small ones (the small-matmul version
     # was pipeline-overhead-bound at ~2% MFU).
@@ -80,12 +90,14 @@ def _kernel(a_ref, btab_ref, nbr_ref, mask_ref, w2_ref, b2_ref,
     ], axis=0).astype(jnp.bfloat16)                        # (D*TV, V)
     gathered = jnp.dot(onehot, btab, preferred_element_type=jnp.float32)
     out_ref[0] = _edge_tail(a, gathered, mask_ref[0], w2, b2,
-                            g1, be1, g2, be2, degree, TV, H2)
+                            g1, be1, g2, be2, degree, TV, H2,
+                            h1_true, h2_true)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret",
+                                             "h1_true", "h2_true"))
 def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int = 256,
-                   interpret: bool = False):
+                   interpret: bool = False, h1_true=None, h2_true=None):
     """a (B,V,H1) fp32/bf16, b_table (B,V,H1), nbr/mask (B,V,D) int32/bool,
     w2 (H1,H2), vectors (H,) — returns (B,V,H2) fp32.
 
@@ -102,7 +114,7 @@ def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int 
     grid = (B, V // TV)
     vec = lambda x: x.reshape(1, -1)
     out = pl.pallas_call(
-        functools.partial(_kernel, degree=D),
+        functools.partial(_kernel, degree=D, h1_true=h1_true, h2_true=h2_true),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TV, H1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -151,7 +163,8 @@ def reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
 
 def _kernel_windowed(a_ref, w0_ref, w1_ref, w2blk_ref, nbr_ref, mask_ref,
                      w2_ref, b2_ref, g1_ref, be1_ref, g2_ref, be2_ref,
-                     out_ref, *, degree, tile_v, num_blocks):
+                     out_ref, *, degree, tile_v, num_blocks,
+                     h1_true=None, h2_true=None):
     a = a_ref[0].astype(jnp.float32)
     window = jnp.concatenate([w0_ref[0], w1_ref[0], w2blk_ref[0]], axis=0)  # (3TV,H1)
     TV = a.shape[0]
@@ -169,7 +182,8 @@ def _kernel_windowed(a_ref, w0_ref, w1_ref, w2blk_ref, nbr_ref, mask_ref,
     ], axis=0).astype(jnp.bfloat16)                        # (D*TV, 3TV)
     gathered = jnp.dot(onehot, window, preferred_element_type=jnp.float32)
     out_ref[0] = _edge_tail(a, gathered, mask_ref[0], w2, b2,
-                            g1, be1, g2, be2, degree, TV, H2)
+                            g1, be1, g2, be2, degree, TV, H2,
+                            h1_true, h2_true)
 
 
 def check_neighbor_locality(nbr: np.ndarray, tile_v: int = 256) -> bool:
@@ -189,9 +203,11 @@ def check_neighbor_locality(nbr: np.ndarray, tile_v: int = 256) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret",
+                                             "h1_true", "h2_true"))
 def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
-                            tile_v: int = 256, interpret: bool = False):
+                            tile_v: int = 256, interpret: bool = False,
+                            h1_true=None, h2_true=None):
     """Windowed fused EdgeMLP; caller must guarantee neighbor locality
     (check_neighbor_locality)."""
     B, V, H1 = a.shape
@@ -212,7 +228,8 @@ def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
         )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_windowed, degree=D, tile_v=TV, num_blocks=NB),
+        functools.partial(_kernel_windowed, degree=D, tile_v=TV, num_blocks=NB,
+                          h1_true=h1_true, h2_true=h2_true),
         grid=(B, NB),
         in_specs=[
             pl.BlockSpec((1, TV, H1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -278,3 +295,45 @@ def _trainable_bwd(windowed, interpret, res, g):
 
 
 fused_edge_mlp_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+# ---------------------------------------------------------------------------
+# small-channel dispatch: lane padding
+# ---------------------------------------------------------------------------
+
+def fused_edge_mlp_auto(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
+                        windowed: bool = False, tile_v: int = 256,
+                        interpret: bool = False):
+    """Dispatch to the fused kernels for ANY channel width.
+
+    Widths below the 128 TPU lane width are zero-padded: a/b/W2 rows pad with
+    zeros, LayerNorm scale/bias pad with zeros (so padded channels output
+    exactly 0 and contribute nothing to the tail matmul), and the in-kernel
+    LayerNorm statistics divide by the TRUE width.  This replaces the
+    XLA-path gathers of the small edge layers (profiled at ~3x the cost of a
+    full fused 128-wide layer) with the same single-gather-matmul kernel.
+    """
+    H1 = w2.shape[0]
+    H2 = w2.shape[1]
+
+    def up(n):
+        return max(128, ((n + 127) // 128) * 128)
+
+    P1, P2 = up(H1), up(H2)
+    h1_true = H1 if P1 != H1 else None
+    h2_true = H2 if P2 != H2 else None
+    if P1 != H1 or P2 != H2:
+        padc = lambda x, p: jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, p - x.shape[-1]),))
+        a = padc(a, P1)
+        b_table = padc(b_table, P1)
+        w2 = jnp.pad(w2, ((0, P1 - H1), (0, P2 - H2)))
+        b2 = jnp.pad(b2, (0, P2 - H2))
+        g1 = jnp.pad(g1, (0, P1 - H1))     # zero scale -> padded channels = 0
+        be1 = jnp.pad(be1, (0, P1 - H1))
+        g2 = jnp.pad(g2, (0, P2 - H2))
+        be2 = jnp.pad(be2, (0, P2 - H2))
+    fn = fused_edge_mlp_windowed if windowed else fused_edge_mlp
+    out = fn(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
+             tile_v=tile_v, interpret=interpret,
+             h1_true=h1_true, h2_true=h2_true)
+    return out[..., :H2] if P2 != H2 else out

