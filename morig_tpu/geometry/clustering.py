@@ -65,26 +65,35 @@ def meanshift_cluster(
     num_iter: int = 30,
     step: float = 0.3,
 ) -> jax.Array:
-    """Weighted flat-kernel mean-shift, fixed iteration count.
+    """Weighted flat-kernel mean-shift with the reference's convergence rule.
 
     Per iteration: kernel K_ij = relu(b² − ||x_i − x_j||²) * w_i (attractor
     weight), columns normalized, each point moves `step` of the way toward its
-    kernel-weighted mean — the update rule of cluster_utils.py:24-34 /
-    train_rig.py:50-59 with the convergence check replaced by a fixed count
-    (the reference's own torch variant already does this)."""
+    kernel-weighted mean; the loop stops when the total displacement norm
+    drops under 1e-3 or after `num_iter` passes — exactly
+    cluster_utils.py:22-36 (diff > 1e-3 and num_iter < max_iter), which in
+    practice converges well before the cap."""
     n = pts.shape[0]
     w = jnp.ones(n, pts.dtype) if weights is None else weights.reshape(n)
     if mask is not None:
         w = jnp.where(mask, w, 0.0)
 
-    def body(_, x):
+    def cond(state):
+        it, diff, _ = state
+        return (diff > 1e-3) & (it < num_iter)
+
+    def body(state):
+        it, _, x = state
         d2 = pairwise_sqdist(x, x)
         K = jnp.maximum(bandwidth * bandwidth - d2, 0.0) * w[:, None]
         col = jnp.sum(K, axis=0, keepdims=True)
         P = (K / (col + 1e-10)).T
-        return x + step * (P @ x - x)
+        x_new = x + step * (P @ x - x)
+        diff = jnp.sqrt(jnp.sum((x_new - x) ** 2))
+        return it + 1, diff, x_new
 
-    return jax.lax.fori_loop(0, num_iter, body, pts)
+    _, _, out = jax.lax.while_loop(cond, body, (jnp.asarray(1), jnp.asarray(1e10), pts))
+    return out
 
 
 def nms_modes(

@@ -171,38 +171,6 @@ class RigPredictor:
             cache[name] = wrapper
         return cache[name]
 
-    def _flow_program(self):
-        def fn(params, stats, mesh, points):
-            return self.deform_stage.model.apply(
-                {"params": params, "batch_stats": stats}, mesh, points,
-                False, None)[0]
-
-        return self._jit("flow", fn)
-
-    def _jointmask_program(self):
-        import jax
-        import jax.numpy as jnp
-
-        def fn(jparams, jstats, mparams, mstats, flow, mesh):
-            _, _, shift = self.joint_stage.model.apply(
-                {"params": jparams, "batch_stats": jstats}, flow, mesh, False)
-            _, _, attn = self.mask_stage.model.apply(
-                {"params": mparams, "batch_stats": mstats}, flow, mesh, False)
-            shifted = mesh.verts + jnp.tanh(shift)
-            return shifted, jax.nn.sigmoid(attn[..., 0])
-
-        return self._jit("jointmask", fn)
-
-    def _skin_program(self):
-        import jax
-
-        def fn(params, stats, desc, flow, mesh):
-            _, _, logits = self.skin_stage.model.apply(
-                {"params": params, "batch_stats": stats}, desc, flow, mesh, False)
-            return jax.nn.softmax(logits, axis=-1)
-
-        return self._jit("skin", fn)
-
     def _smooth_program(self):
         """Batched skin smoothing + pruning at a fixed padded bone count."""
         import jax
@@ -219,10 +187,11 @@ class RigPredictor:
 
         return self._jit("smooth", fn)
 
-    def _joints_all_program(self, has_vox: bool):
-        """Joint/mask nets + the whole device end of joint extraction fused
-        into one dispatch; outputs packed into a single (B, N, 6) array +
-        (B,) bandwidths so the host pays ONE fetch round trip."""
+    def _flow_joints_program(self, has_vox: bool, Bn: int, T: int):
+        """Stage 1-3 in ONE dispatch: the (B*T) DeformNet forward, the
+        joint/mask nets, and the whole device end of joint extraction.
+        Returns (flow (B,V,3T) — stays device-resident for the skin stage —
+        plus the packed cluster outputs and bandwidths)."""
         import jax
         import jax.numpy as jnp
 
@@ -230,7 +199,15 @@ class RigPredictor:
 
         jc = self.cfg.joints
 
-        def fn(jparams, jstats, mparams, mstats, flow, mesh, grid, tr, sc):
+        def fn(dparams, dstats, jparams, jstats, mparams, mstats,
+               mesh_bt, points, mesh, grid, tr, sc):
+            flow_bt = self.deform_stage.model.apply(
+                {"params": dparams, "batch_stats": dstats},
+                mesh_bt, points, False, None)[0]               # (B*T, V, 3)
+            V = flow_bt.shape[1]
+            flow = jnp.transpose(
+                jnp.reshape(flow_bt, (Bn, T, V, 3)), (0, 2, 1, 3)
+            ).reshape(Bn, V, T * 3)
             _, _, shift = self.joint_stage.model.apply(
                 {"params": jparams, "batch_stats": jstats}, flow, mesh, False)
             _, _, attn = self.mask_stage.model.apply(
@@ -248,9 +225,9 @@ class RigPredictor:
                 attn2[..., None].astype(jnp.float32),
                 sel2[..., None].astype(jnp.float32),
             ], axis=-1)
-            return packed, bw
+            return flow, packed, bw
 
-        return self._jit(f"joints_all_vox{int(has_vox)}", fn)
+        return self._jit(f"flow_joints_vox{int(has_vox)}_{Bn}_{T}", fn)
 
     def _skelnets_program(self, has_vox: bool, max_joints: int):
         """Pair building, pair attributes (dist + voxel inside-fraction), and
@@ -350,7 +327,10 @@ class RigPredictor:
                     f, nbr, msk, num_ring=self.cfg.skin_post.post_filter_rings)
                 return prune_and_normalize(s, self.cfg.skin_post.prune_ratio_rig)
 
-            return jax.vmap(smooth_one)(full, mesh.tpl_nbr, mesh.tpl_mask)
+            pruned = jax.vmap(smooth_one)(full, mesh.tpl_nbr, mesh.tpl_mask)
+            # bf16 halves the one sizeable fetch of the pipeline; rows are
+            # renormalized in fp32 on the host after the cast
+            return pruned.astype(jnp.bfloat16)
 
         return self._jit("skin_full", fn)
 
@@ -431,27 +411,22 @@ class RigPredictor:
                        jnp.stack([t[2] for t in triples]))
             cache["vox"] = vox_dev
 
-        # ---- stage 1: flow at T keyframes, one (B*T) forward ----
+        # ---- stages 1-3 in ONE dispatch: (B*T) flow forward + joint/mask
+        # nets + device joint extraction; packed outputs -> ONE fetch; the
+        # flow stays device-resident for the skin stage ----
         pts_bt = np.concatenate([np.asarray(p, np.float32) for p in pts_frames_list], 0)
         points = B.PointBatch(jnp.asarray(pts_bt),
                               jnp.ones(pts_bt.shape[:2], bool))
-        flow_bt = self._flow_program()(
-            self.deform_state.params, self.deform_state.batch_stats,
-            mesh_bt, points)                                   # (B*T, V, 3)
-        V = flow_bt.shape[1]
-        flow = jnp.transpose(
-            jnp.reshape(flow_bt, (Bn, T, V, 3)), (0, 2, 1, 3)
-        ).reshape(Bn, V, T * 3)                                # (B, V, 3T)
-        mark("flow", flow)
-
-        # ---- stages 2-3: joints.  Nets + clustering fused in one dispatch,
-        # outputs packed -> ONE fetch; host NMS/flip tail ----
         jc = self.cfg.joints
         grid, tr, sc = vox_dev if vox_dev is not None else (None, None, None)
-        packed, bw_dev = self._joints_all_program(vox_dev is not None)(
+        flow, packed, bw_dev = self._flow_joints_program(
+            vox_dev is not None, Bn, T)(
+            self.deform_state.params, self.deform_state.batch_stats,
             self.joint_state.params, self.joint_state.batch_stats,
             self.mask_state.params, self.mask_state.batch_stats,
-            flow, mesh_b, grid, tr, sc)
+            mesh_bt, points, mesh_b, grid, tr, sc)
+        V = flow.shape[1]
+        mark("flow", flow)
         arr, bws = jax.device_get((packed, bw_dev))
         moved, counts = arr[..., 0:3], arr[..., 3]
         attn2, sel2 = arr[..., 4], arr[..., 5] > 0.5
@@ -524,7 +499,9 @@ class RigPredictor:
             bones_list.append(bones[:nb])
         pruned = np.asarray(self._skin_full_program()(
             self.skin_state.params, self.skin_state.batch_stats,
-            jnp.asarray(bones_packed), flow, mesh_b))           # (B, V, Bmax)
+            jnp.asarray(bones_packed), flow, mesh_b)).astype(np.float32)
+        rs = pruned.sum(-1, keepdims=True)                  # renorm post-bf16
+        pruned = np.where(rs > 0, pruned / np.maximum(rs, 1e-9), 0.0)
         mark("skin_device")
 
         rigs = []
