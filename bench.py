@@ -39,8 +39,8 @@ def _flops_of(jitted, args) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, CPU ok")
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--track-frames", type=int, default=101)
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak TFLOP/s for MFU (v5e bf16 = 197)")
