@@ -157,8 +157,11 @@ class EdgeMLP(nn.Module):
             base_ok = impl != "xla" and not self.is_initializing()
             args = (a.astype(jnp.float32), b.astype(jnp.float32),
                     nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
+            # sub-128-wide layers only pay off (and are worth their Mosaic
+            # compile time) on large meshes; tiny fixtures keep XLA gathers
+            allow_small = V >= 1024
             if base_ok and not train and _fusable(self.channels, V, h1, h2,
-                                                 allow_small=True):
+                                                 allow_small=allow_small):
                 from morig_tpu.kernels import edge_fused as ef
 
                 # any channel width: sub-128 layers go through the lane-

@@ -67,7 +67,13 @@ def multistep_adam(
 
 
 def create_state(model, rng: jax.Array, example_inputs: tuple, tx, init_kwargs=None) -> TrainState:
-    variables = model.init(rng, *example_inputs, **(init_kwargs or {}))
+    import functools
+
+    # jit the init: eager flax init dispatches every op separately, which on
+    # a remote device means hundreds of round trips (measured ~5 min for a
+    # DeformNet init through a TPU tunnel vs seconds jitted)
+    init_fn = jax.jit(functools.partial(model.init, **(init_kwargs or {})))
+    variables = init_fn(rng, *example_inputs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax_core.freeze({}))
     return TrainState(
