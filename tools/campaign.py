@@ -1,0 +1,341 @@
+"""Convergence-accuracy campaign on the branching creature family.
+
+Trains all six pipeline stages (corr -> deform -> joints/mask -> skin ->
+bone/root) to convergence on procedurally-rigged multi-limb creatures
+(data/creature.py), then runs the full rig-prediction DAG + tracking on
+held-out creatures and records the reference's metric set
+(evaluate/eval_rigging.py:111-131, eval_tracking.py:230-235, skin L1 of
+train_skin.py eval):
+
+  python tools/campaign.py --dir campaign_out            # full run (~1-2 h)
+  python tools/campaign.py --dir /tmp/smoke --smoke      # tiny smoke test
+
+The run is resumable per stage (the reference's skip-if-artifact-exists
+property, joint2rig.py:287-288): each trained stage leaves a best-on-val
+checkpoint + done marker and is skipped on re-run.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# Persistent compile cache: the TPU tunnel costs ~90 s per fresh lowering on
+# this host; cached executables cut re-runs to seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+TRAIN_SEEDS = list(range(12))
+VAL_SEEDS = [100, 101, 102]
+TEST_SEEDS = [200, 201, 202, 203, 204]
+
+
+def stage_done(d):
+    return os.path.exists(os.path.join(d, "done.json"))
+
+
+def mark_done(d, info):
+    with open(os.path.join(d, "done.json"), "w") as f:
+        json.dump(info, f)
+
+
+def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=None):
+    """Train one stage with best-on-val checkpointing; resume if done."""
+    from morig_tpu.train import checkpoint as ckpt
+    from morig_tpu.train.trainer import MetricLogger, run_epochs
+
+    d = os.path.join(out_dir, name)
+    os.makedirs(d, exist_ok=True)
+    rng_np = np.random.default_rng(seed)
+    sample = next(batch_fn(rng_np))
+    state = resume_state if resume_state is not None \
+        else stage.init_state(jax.random.key(seed), sample)
+    best_path = os.path.join(d, "model_best.msgpack")
+    if stage_done(d):
+        state, meta = ckpt.load_checkpoint(state, best_path)
+        print(f"[campaign] {name}: loaded (best epoch {meta.get('epoch')})")
+        return state
+    t0 = time.time()
+    logger = MetricLogger(d)
+    state, best = run_epochs(
+        stage, state,
+        train_batches=lambda e: batch_fn(rng_np),
+        val_batches=lambda: batch_fn(rng_np, train=False),
+        test_batches=None,
+        epochs=epochs, checkpoint_dir=d, logger=logger,
+        rng=jax.random.key(seed + 1),
+    )
+    state, meta = ckpt.load_checkpoint(state, best_path)
+    mark_done(d, dict(best_epoch=best, seconds=time.time() - t0))
+    print(f"[campaign] {name}: trained {epochs} epochs in {time.time()-t0:.0f}s "
+          f"(best {best})")
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="campaign_out")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--epochs-scale", type=float, default=1.0)
+    ap.add_argument("--batch-size", type=int, default=4)
+    args = ap.parse_args()
+    os.makedirs(args.dir, exist_ok=True)
+
+    from morig_tpu.data.creature import (
+        creature_pose_dataset, creature_rig_dataset, creature_skel_dataset,
+        make_creature_sequence,
+    )
+    from morig_tpu.train.stages import (
+        BoneStage, CorrPoseStage, DeformPoseStage, RigStage, RootStage, SkinStage,
+    )
+
+    if args.smoke:
+        train_seeds, val_seeds, test_seeds = [0, 1], [100], [200]
+        n_pts, tv = 256, 700
+        E = dict(corr=3, deform=3, rig=3, skin=3, skel=3)
+        bs = 2
+    else:
+        train_seeds, val_seeds, test_seeds = TRAIN_SEEDS, VAL_SEEDS, TEST_SEEDS
+        n_pts, tv = 1024, 1900
+        s = args.epochs_scale
+        E = dict(corr=int(200 * s), deform=int(150 * s), rig=int(150 * s),
+                 skin=int(150 * s), skel=int(120 * s))
+        bs = args.batch_size
+
+    t_all = time.time()
+
+    # ---- datasets ---------------------------------------------------------
+    print("[campaign] generating creatures ...")
+
+    def pose_ds(seeds):
+        return creature_pose_dataset(num_models=len(seeds), seed=seeds[0],
+                                     num_frames=6, num_points=n_pts,
+                                     target_verts=tv)
+
+    pose_tr = pose_ds(train_seeds)
+    pose_val = pose_ds(val_seeds)
+    pose_te = pose_ds(test_seeds)
+    print(f"[campaign] pose datasets: {len(pose_tr)}/{len(pose_val)}/{len(pose_te)} "
+          f"buckets {sorted(set(pose_tr.bucket_of))} "
+          f"({time.time()-t_all:.0f}s)")
+
+    # ---- stage 1: CorrNet -------------------------------------------------
+    corr = CorrPoseStage()
+    corr.train_vismask = True
+
+    def corr_batches(rng, train=True):
+        ds = pose_tr if train else pose_val
+        return ds.epoch_batches(rng, bs, "modelsresource", False, train)
+
+    corr_state = train_stage(corr, "corr", args.dir, corr_batches, E["corr"])
+
+    # ---- stage 2: DeformNet (frozen extractor init'd from corr) -----------
+    deform = DeformPoseStage()
+
+    def deform_batches(rng, train=True):
+        ds = pose_tr if train else pose_val
+        return ds.epoch_batches(rng, bs, "modelsresource", False, train)
+
+    rng_np = np.random.default_rng(0)
+    d0 = next(deform_batches(rng_np))
+    deform_state0 = deform.init_state(jax.random.key(0), d0)
+    deform_state0 = deform.init_extractor_from(
+        deform_state0, corr_state.params, corr_state.batch_stats)
+    deform_state = train_stage(deform, "deform", args.dir, deform_batches,
+                               E["deform"], resume_state=deform_state0)
+
+    # ---- pred_flow dumps for the rig stages (README.md:84-85 handoff) -----
+    def pred_flow_for(ds):
+        """DeformNet flow at keyframes 1..5 per model: (V_real, 15)."""
+        flows = []
+        for i in range(len(ds)):
+            m = ds.models[i]
+            parts = []
+            for t in range(1, 6):
+                b = ds.batch([i], 0, t)
+                f, *_ = deform.infer(deform_state, b)
+                vm = np.asarray(b.mesh.vert_mask[0])
+                parts.append(np.asarray(f[0])[vm])
+            flows.append(np.concatenate(parts, axis=1).astype(np.float32))
+        return flows
+
+    flows_path = os.path.join(args.dir, "pred_flows.npz")
+    if os.path.exists(flows_path):
+        z = np.load(flows_path)
+        flows_tr = [z[f"tr{i}"] for i in range(len(train_seeds))]
+        flows_val = [z[f"val{i}"] for i in range(len(val_seeds))]
+        flows_te = [z[f"te{i}"] for i in range(len(test_seeds))]
+    else:
+        t0 = time.time()
+        flows_tr = pred_flow_for(pose_tr)
+        flows_val = pred_flow_for(pose_val)
+        flows_te = pred_flow_for(pose_te)
+        np.savez(flows_path,
+                 **{f"tr{i}": f for i, f in enumerate(flows_tr)},
+                 **{f"val{i}": f for i, f in enumerate(flows_val)},
+                 **{f"te{i}": f for i, f in enumerate(flows_te)})
+        print(f"[campaign] pred_flow dumps in {time.time()-t0:.0f}s")
+
+    rig_tr = creature_rig_dataset(num_models=len(train_seeds), seed=train_seeds[0],
+                                  num_points=n_pts, target_verts=tv,
+                                  pred_flows=flows_tr)
+    rig_val = creature_rig_dataset(num_models=len(val_seeds), seed=val_seeds[0],
+                                   num_points=n_pts, target_verts=tv,
+                                   pred_flows=flows_val)
+    rig_te = creature_rig_dataset(num_models=len(test_seeds), seed=test_seeds[0],
+                                  num_points=n_pts, target_verts=tv,
+                                  pred_flows=flows_te)
+
+    # ---- stages 3-4: joints + mask ----------------------------------------
+    nes = min(512, rig_tr.pad_verts)
+    joint = RigStage(arch="jointnet", num_embed_sample=nes)
+    mask = RigStage(arch="masknet", num_embed_sample=nes)
+
+    def rig_batches(rng, train=True):
+        ds = rig_tr if train else rig_val
+        return ds.epoch_batches(rng, bs, train)
+
+    joint_state = train_stage(joint, "joints", args.dir, rig_batches, E["rig"])
+    mask_state = train_stage(mask, "mask", args.dir, rig_batches, E["rig"])
+
+    # ---- stage 5: skin ----------------------------------------------------
+    skin = SkinStage(num_embed_sample=nes)
+    skin_state = train_stage(skin, "skin", args.dir, rig_batches, E["skin"])
+
+    # ---- stage 6: bone/root (diverse joint sets: GT + perturbed) ----------
+    skel_tr = creature_skel_dataset(num_models=len(train_seeds), seed=train_seeds[0],
+                                    target_verts=tv)
+    skel_val = creature_skel_dataset(num_models=len(val_seeds), seed=val_seeds[0],
+                                     target_verts=tv, extra_per_model=1)
+    bone = BoneStage()
+    root = RootStage()
+
+    def skel_batches(rng, train=True):
+        yield skel_tr if train else skel_val
+
+    bone_state = train_stage(bone, "bone", args.dir, skel_batches, E["skel"])
+    root_state = train_stage(root, "root", args.dir, skel_batches, E["skel"])
+
+    # ---- held-out evaluation ---------------------------------------------
+    from morig_tpu.eval.metrics import (
+        flow_errors, joint_match_metrics, skin_l1,
+    )
+    from morig_tpu.geometry import skeleton as sk
+    from morig_tpu.geometry.voxel import voxelize_mesh
+    from morig_tpu.pipelines.rig_predict import RigPredictor
+
+    predictor = RigPredictor(
+        deform, deform_state, joint, joint_state, mask, mask_state,
+        root, root_state, bone, bone_state, skin, skin_state,
+    )
+
+    res_dir = os.path.join(args.dir, "results")
+    os.makedirs(res_dir, exist_ok=True)
+    t0 = time.time()
+    per_model = []
+    entries = [rig_te._mesh_cache[i] for i in range(len(test_seeds))]
+    pts_list = [np.stack([pose_te.models[i].pts_traj[:, t, :] for t in range(1, 6)])
+                for i in range(len(test_seeds))]
+    # voxelize from creature faces (regenerate; deterministic by seed)
+    from morig_tpu.data.creature import make_creature
+    voxes = []
+    for s_ in test_seeds:
+        c = make_creature(s_, target_verts=tv)
+        voxes.append(voxelize_mesh(c.verts, c.faces))
+    rigs = predictor.predict_rig_batch(entries, pts_list, voxes=voxes)
+    for i, s_ in enumerate(test_seeds):
+        m = rig_te.models[i]
+        gt = m.rig
+        pred = rigs[i]
+        # per-GT-joint feature size: half the distance to the nearest other
+        # joint, floored at 0.03 (stand-in for the reference's per-model
+        # feature_size files, eval_rigging.py:111-121)
+        dj = np.linalg.norm(gt.pos[:, None] - gt.pos[None], axis=-1)
+        np.fill_diagonal(dj, np.inf)
+        fs = np.clip(0.5 * dj.min(1), 0.03, 0.10)
+        jm = joint_match_metrics(pred.pos, gt.pos, fs)
+        # artifacts for the results-folder eval CLI
+        pred.save(os.path.join(res_dir, f"creature{s_}_rig.txt"))
+        gt_path = os.path.join(res_dir, f"creature{s_}_gt_rig.txt")
+        sk.Rig(names=list(gt.names), pos=gt.pos, parents=gt.parents,
+               skins=gt.skins).save(gt_path)
+        per_model.append(dict(seed=s_, num_pred_joints=int(pred.num_joints),
+                              num_gt_joints=int(gt.num_joints), **jm))
+        print(f"[campaign] creature{s_}: J_pred={pred.num_joints} "
+              f"J_gt={gt.num_joints} IoU={jm['joint_IoU']:.3f} "
+              f"P={jm['joint_precision']:.3f} R={jm['joint_recall']:.3f} "
+              f"CD={jm['chamfer_j2j']:.4f}")
+    print(f"[campaign] rig prediction on {len(test_seeds)} held-out in "
+          f"{time.time()-t0:.0f}s")
+
+    # skin quality on the GT skeleton (train_skin.py eval semantics)
+    skin_l1s = []
+    for i in range(len(test_seeds)):
+        b = rig_te.batch([i])
+        _, _, logits = skin.infer(skin_state, b.skin_input, b.pred_flow, b.mesh)
+        probs = np.asarray(jax.nn.softmax(logits[0], -1))
+        vm = np.asarray(b.mesh.vert_mask[0])
+        K = probs.shape[-1]
+        lm = np.asarray(b.loss_mask[0])[:, :K]
+        nn = np.asarray(b.skin_nn[0])[:, :K]
+        gt_lab = np.asarray(b.skin_label[0])[:, :K]
+        p = probs * lm
+        p = p / np.maximum(p.sum(-1, keepdims=True), 1e-9)
+        g = gt_lab * lm
+        g = g / np.maximum(g.sum(-1, keepdims=True), 1e-9)
+        skin_l1s.append(float(np.abs(p - g).sum(-1)[vm].mean()))
+
+    # tracking on held-out creature 0 (GT rig, 21-frame sequence)
+    from morig_tpu.core import batch as B
+    from morig_tpu.pipelines.tracking import Tracker
+
+    seq = make_creature_sequence(seed=test_seeds[0], num_frames=11,
+                                 num_points=min(n_pts, 512), target_verts=tv)
+    c = seq["rig"]
+    gt_rig = sk.Rig(names=list(c.names), pos=c.joints.astype(np.float64),
+                    parents=c.parents, skins=c.skins)
+    entry = B.build_mesh(c.verts, seq["tpl_edges"], seq["geo_edges"],
+                         B.bucket_size(len(c.verts), (1024, 2048, 4096)))
+    tracker = Tracker(deform, deform_state, gt_rig, entry)
+    t0 = time.time()
+    traj, vis, quats = tracker.run(c.verts, seq["pts_traj"])
+    terr = flow_errors(traj, seq["vtx_traj"][:, 1:, :], seq["vismask"][:, 1:])
+    print(f"[campaign] tracking: {terr} ({time.time()-t0:.0f}s)")
+
+    summary = dict(
+        config=dict(train=len(train_seeds), val=len(val_seeds), test=len(test_seeds),
+                    epochs=E, batch_size=bs, target_verts=tv, smoke=args.smoke),
+        per_model=per_model,
+        mean=dict(
+            joint_IoU=float(np.mean([m["joint_IoU"] for m in per_model])),
+            joint_precision=float(np.mean([m["joint_precision"] for m in per_model])),
+            joint_recall=float(np.mean([m["joint_recall"] for m in per_model])),
+            chamfer_j2j=float(np.mean([m["chamfer_j2j"] for m in per_model])),
+            skin_l1=float(np.mean(skin_l1s)),
+            tracking_full_flow_error=terr["full_flow_error"],
+            tracking_vis_flow_error=terr.get("vis_flow_error"),
+        ),
+        total_seconds=time.time() - t_all,
+    )
+    with open(os.path.join(args.dir, "campaign_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("[campaign] SUMMARY:", json.dumps(summary["mean"], indent=2))
+
+
+if __name__ == "__main__":
+    main()
