@@ -132,6 +132,7 @@ def main():
         bone, bone.init_state(rng, skel_s),
         skin, skin.init_state(rng, rig_b),
     )
+    predictor.record_args = True    # keep per-program args for FLOPs lowering
 
     # ---- phase A: full-DAG rig prediction ----
     dcache: dict = {}   # static per-mesh device residents (uploaded once)

@@ -37,18 +37,15 @@ def estimate_bandwidth(pts: jax.Array, mask: jax.Array | None = None,
     d2 = jnp.where(mask[None, :], d2, 1e30)
     # distance to the knn-th neighbor: knn <= k_max (the all-valid count), so a
     # static top-k of the k_max smallest per row replaces a full-row sort.
-    # approx_max_k (recall 0.95) avoids top_k's full-sort lowering on TPU —
-    # the resulting bandwidth statistic moves by well under the quantile
-    # granularity it feeds.
+    # In "auto" mode approx_max_k (recall 0.95) avoids top_k's full-sort
+    # lowering on TPU; note it biases the knn-th-smallest distance slightly
+    # UP (missed small distances shift the order statistic) — use
+    # kernels.neighbors.set_topk_mode("exact") for sklearn-exact parity
+    # (ADVICE r2 #2; tests_tpu asserts the approx-vs-exact drift is small).
     k_max = max(1, int(n * quantile))
-    try:
-        backend_ok = jax.default_backend() not in ("cpu",)
-    except RuntimeError:
-        backend_ok = False
-    if backend_ok and hasattr(jax.lax, "approx_max_k") and k_max >= 16:
-        neg_topk, _ = jax.lax.approx_max_k(-d2, k_max, recall_target=0.95)
-    else:
-        neg_topk, _ = jax.lax.top_k(-d2, k_max)   # (n, k_max)
+    from morig_tpu.kernels.neighbors import large_topk
+
+    neg_topk, _ = large_topk(-d2, k_max)          # (n, k_max)
     d_small = -neg_topk
     kth = jnp.sqrt(jnp.maximum(jnp.take_along_axis(
         d_small, jnp.full((n, 1), knn - 1), axis=1)[:, 0], 0.0))
@@ -104,6 +101,7 @@ def nms_modes(
     attn_threshold: float = 0.7,
     mask: np.ndarray | None = None,
     counts: np.ndarray | None = None,
+    return_density: bool = False,
 ) -> np.ndarray:
     """Greedy density-sorted mode extraction after mean-shift
     (cluster_utils.py:39-63): visit points by descending neighbor count,
@@ -123,7 +121,8 @@ def nms_modes(
             counts = np.asarray(counts)[np.asarray(mask)]
     n = len(pts)
     if n == 0:
-        return np.zeros((0, 3), np.float32)
+        empty = np.zeros((0, 3), np.float32)
+        return (empty, np.zeros(0)) if return_density else empty
     if counts is None:
         d2 = ((pts[None] - pts[:, None]) ** 2).sum(-1)
         counts = (d2 <= bandwidth * bandwidth).sum(0)
@@ -138,6 +137,8 @@ def nms_modes(
         alive[nbrs] = False
         if attn[nbrs].max() > attn_threshold or nbrs.sum() / n > density_threshold:
             keep[i] = True
+    if return_density:
+        return pts[keep], np.asarray(counts)[keep]
     return pts[keep]
 
 
@@ -148,12 +149,17 @@ def symmetrize_reflect(pts: np.ndarray, attn: np.ndarray) -> tuple[np.ndarray, n
     return np.concatenate([pts, mirrored], 0), np.concatenate([attn, attn], 0)
 
 
-def flip_joints(joints: np.ndarray, tol: float = 2e-2) -> tuple[np.ndarray, np.ndarray]:
+def flip_joints(joints: np.ndarray, tol: float = 2e-2,
+                extra: np.ndarray | None = None):
     """Mirror left-half joints to the right, snap middle joints to the plane
-    (mst_utils.py:294-313).  Returns (joints, side) with side in {-1,0,1}."""
+    (mst_utils.py:294-313).  Returns (joints, side) with side in {-1,0,1};
+    with `extra` (per-joint payload, e.g. NMS densities) also returns it
+    rearranged alongside — mirrored copies inherit their source's payload."""
     joints = np.asarray(joints, dtype=np.float32)
-    left = joints[joints[:, 0] < -tol]
-    middle = joints[np.abs(joints[:, 0]) <= tol].copy()
+    is_left = joints[:, 0] < -tol
+    is_mid = np.abs(joints[:, 0]) <= tol
+    left = joints[is_left]
+    middle = joints[is_mid].copy()
     middle[:, 0] = 0.0
     right = left.copy()
     right[:, 0] = -right[:, 0]
@@ -161,6 +167,10 @@ def flip_joints(joints: np.ndarray, tol: float = 2e-2) -> tuple[np.ndarray, np.n
     side = np.concatenate([
         -np.ones(len(left)), np.zeros(len(middle)), np.ones(len(right))
     ])
+    if extra is not None:
+        extra = np.asarray(extra)
+        extra_out = np.concatenate([extra[is_left], extra[is_mid], extra[is_left]])
+        return out, side, extra_out
     return out, side
 
 
@@ -238,21 +248,26 @@ def select_and_cluster(
 def nms_flip_host(moved, bws, counts, attn2, sel2,
                   density_threshold: float = 0.02,
                   attn_nms_threshold: float = 0.7,
-                  symmetrize: bool = True) -> list:
+                  symmetrize: bool = True,
+                  return_density: bool = False) -> list:
     """Host tail of joint extraction over the fetched select_and_cluster
-    outputs: per-mesh NMS + flip."""
+    outputs: per-mesh NMS + flip.  With return_density, each entry is
+    (modes, densities) so callers that must cap the joint count can drop the
+    lowest-density modes rather than an arbitrary subset (ADVICE r2 #5)."""
     out = []
     for i in range(len(moved)):
         m = np.asarray(sel2[i])
         if not m.any():
-            out.append(np.zeros((0, 3), np.float32))
+            empty = np.zeros((0, 3), np.float32)
+            out.append((empty, np.zeros(0)) if return_density else empty)
             continue
-        modes = nms_modes(np.asarray(moved[i])[m], np.asarray(attn2[i])[m],
-                          float(bws[i]), density_threshold, attn_nms_threshold,
-                          counts=np.asarray(counts[i])[m])
+        modes, dens = nms_modes(np.asarray(moved[i])[m], np.asarray(attn2[i])[m],
+                                float(bws[i]), density_threshold, attn_nms_threshold,
+                                counts=np.asarray(counts[i])[m],
+                                return_density=True)
         if symmetrize:
-            modes, _ = flip_joints(modes)
-        out.append(modes)
+            modes, _, dens = flip_joints(modes, extra=dens)
+        out.append((modes, dens) if return_density else modes)
     return out
 
 

@@ -54,6 +54,39 @@ def topk_small(sim: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 
 _SMALL_K = 8
 
+# Global exact/approx switch for the large-k top-k paths (radius grouping,
+# bandwidth estimation).  "auto" = approx_max_k (recall 0.95) on accelerator
+# backends — the benchmarked throughput configuration; "exact" = lax.top_k
+# everywhere, for parity/eval runs where the reference's exact-neighbor
+# semantics matter (ADVICE r2 #1/#2).  Read at TRACE time: set it before
+# building jitted stages/pipelines; already-compiled programs keep the mode
+# they were traced with.
+_TOPK_MODE = "auto"
+
+
+def set_topk_mode(mode: str) -> None:
+    global _TOPK_MODE
+    assert mode in ("auto", "exact")
+    _TOPK_MODE = mode
+
+
+def get_topk_mode() -> str:
+    return _TOPK_MODE
+
+
+def large_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the last axis for large k: approx_max_k in "auto" mode on
+    accelerators (avoids top_k's full-sort lowering), exact lax.top_k
+    otherwise.  Returns (values, indices), largest-first."""
+    if _TOPK_MODE == "auto":
+        try:
+            backend_ok = jax.default_backend() not in ("cpu",)
+        except RuntimeError:
+            backend_ok = False
+        if backend_ok and hasattr(jax.lax, "approx_max_k") and k >= 16:
+            return jax.lax.approx_max_k(scores, k, recall_target=0.95)
+    return jax.lax.top_k(scores, k)
+
 
 def knn(
     query: jax.Array,
@@ -107,18 +140,11 @@ def radius_group(
         in_r = in_r & points_mask[None, :]
     score = jnp.where(in_r, -d2, NEG)
     k = min(max_neighbors, points.shape[0])
-    # approx_max_k avoids the full-sort lowering of top_k; a 0.95 recall on
-    # which in-radius neighbors are kept matches the reference's own RANDOM
-    # overflow subsampling (radius_cpu, basic_modules.py:16) in spirit, and
-    # the masked max over the group is insensitive to the exact subset.
-    try:
-        backend_ok = jax.default_backend() not in ("cpu",)
-    except RuntimeError:
-        backend_ok = False
-    if backend_ok and hasattr(jax.lax, "approx_max_k") and k >= 16:
-        top_score, idx = jax.lax.approx_max_k(score, k, recall_target=0.95)
-    else:
-        top_score, idx = jax.lax.top_k(score, k)
+    # In "auto" mode approx_max_k's 0.95 recall on which in-radius neighbors
+    # are kept matches the reference's own RANDOM overflow subsampling
+    # (radius_cpu, basic_modules.py:16) in spirit; set_topk_mode("exact")
+    # restores exact nearest-first selection for parity runs.
+    top_score, idx = large_topk(score, k)
     valid = top_score > NEG / 2
     return idx.astype(jnp.int32), valid
 

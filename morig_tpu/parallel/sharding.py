@@ -40,9 +40,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every array leaf on its leading (batch) axis over 'data'."""
+    """Shard array leaves on their leading (batch) axis over 'data'.
+
+    Leaves that cannot carry the batch axis — scalars, or arrays whose
+    leading dim does not divide by the data-mesh size (e.g. per-sample-
+    invariant tables someone later adds to the pytrees) — are replicated
+    instead of being sharded wrongly."""
     s = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    r = replicated(mesh)
+    n_data = mesh.shape["data"]
+
+    def place(x):
+        ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0
+        return jax.device_put(x, s if ok else r)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):

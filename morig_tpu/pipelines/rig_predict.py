@@ -153,9 +153,11 @@ class RigPredictor:
 
     # -- batched full DAG (throughput path) -----------------------------------
     def _jit(self, name, fn):
-        """Cache a jitted program and record its latest call args so the
-        benchmark can lower the exact executed computation for XLA FLOPs
-        accounting (bench.py)."""
+        """Cache a jitted program.  With `self.record_args = True` (set by
+        bench.py) each call's args are also recorded so the benchmark can
+        lower the exact executed computation for XLA FLOPs accounting —
+        off by default, since holding the previous batch's device buffers
+        would pin them in HBM for the predictor's lifetime (ADVICE r2 #4)."""
         cache = self.__dict__.setdefault("_jit_cache", {})
         last_args = self.__dict__.setdefault("_last_args", {})
         if name not in cache:
@@ -164,7 +166,8 @@ class RigPredictor:
             jf = jax.jit(fn)
 
             def wrapper(*args, _name=name, _jf=jf):
-                last_args[_name] = args
+                if self.__dict__.get("record_args", False):
+                    last_args[_name] = args
                 return _jf(*args)
 
             wrapper.jitted = jf
@@ -364,8 +367,6 @@ class RigPredictor:
         import jax
         import jax.numpy as jnp
 
-        from morig_tpu.geometry.clustering import extract_joints_batch
-
         t_last = [_time.perf_counter()]
 
         def mark(name, *sync):
@@ -390,7 +391,15 @@ class RigPredictor:
         # Static per-mesh device residents (mesh tables, voxel grids) are
         # uploaded once per distinct batch when the caller passes a
         # device_cache — production streams each mesh to the chip once, not
-        # once per pipeline stage.
+        # once per pipeline stage.  The cache is fingerprinted by the mesh
+        # batch it was built from: reusing it with different meshes would
+        # silently run the whole DAG on stale tensors (ADVICE r2 #3).
+        fp = (Bn, T, tuple(id(e) for e in mesh_entries))
+        if cache.get("_fingerprint", fp) != fp:
+            raise ValueError(
+                "device_cache was built from a different mesh batch; pass a "
+                "fresh cache (or none) when the meshes change")
+        cache["_fingerprint"] = fp
         mesh_bt = cache.get("mesh_bt")
         if mesh_bt is None:
             mesh_bt = B.stack_meshes([e for e in mesh_entries for _ in range(T)])
@@ -431,16 +440,20 @@ class RigPredictor:
         moved, counts = arr[..., 0:3], arr[..., 3]
         attn2, sel2 = arr[..., 4], arr[..., 5] > 0.5
         mark("jointcluster_device")
-        joints_list = nms_flip_host(
+        nms_out = nms_flip_host(
             moved, bws, counts, attn2, sel2,
             density_threshold=jc.density_threshold,
-            attn_nms_threshold=jc.attn_nms_threshold, symmetrize=True)
-        for i, j in enumerate(joints_list):
+            attn_nms_threshold=jc.attn_nms_threshold, symmetrize=True,
+            return_density=True)
+        joints_list = []
+        for i, (j, dens) in enumerate(nms_out):
             if len(j) == 0:
                 vmask = np.asarray(mesh_entries[i]["vert_mask"])
-                joints_list[i] = mesh_entries[i]["verts"][vmask].mean(0, keepdims=True)
+                j = mesh_entries[i]["verts"][vmask].mean(0, keepdims=True)
             elif len(j) > max_joints:
-                joints_list[i] = j[:max_joints]
+                # keep the densest modes, not an arbitrary index-order subset
+                j = j[np.argsort(-np.asarray(dens), kind="stable")[:max_joints]]
+            joints_list.append(j)
         mark("nms_host")
 
         # ---- stage 4: skeletons.  Pair table is a compile-time constant;
