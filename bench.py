@@ -92,6 +92,13 @@ def main():
     cap = make_capsule_rig(kw["n_lat"], kw["n_lon"])
     vox = voxelize_mesh(cap.verts, cap.faces, dims=vox_dims)
     voxes = [vox] * Bn
+    # per-mesh surface-geodesic matrix: mesh-dependent preprocessing the
+    # reference caches to .npy (joint2rig.py:502-506); enables the
+    # reference-faithful VOLUMETRIC skin-descriptor path in the timed DAG
+    from morig_tpu.geometry.geodesic import surface_geodesic
+
+    surf = surface_geodesic(cap.verts, cap.faces)
+    surf_geos = [surf] * Bn
     track_seq = make_capsule_sequence(num_frames=track_frames, max_bend=0.5,
                                       partial=False, seed=5, **kw)
     track_entry = B.build_mesh(cap.verts, track_seq["tpl_edges"],
@@ -137,12 +144,14 @@ def main():
     # ---- phase A: full-DAG rig prediction ----
     dcache: dict = {}   # static per-mesh device residents (uploaded once)
     rigs = predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
+                                       surf_geos=surf_geos,
                                        device_cache=dcache)     # compile
     assert len(rigs) == Bn and all(r.skins is not None for r in rigs)
     timings: dict = {}
     t0 = time.perf_counter()
     for _ in range(iters):
         rigs = predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
+                                           surf_geos=surf_geos,
                                            timings=timings, device_cache=dcache)
     dt = (time.perf_counter() - t0) / iters
     meshes_per_sec = Bn / dt
@@ -179,15 +188,35 @@ def main():
     track_flops = _flops_of(run_scanned.jitted, run_scanned.last_args)
     mfu_track = track_flops / dt_track / (args.peak_tflops * 1e12)
 
+    # ---- phase B2: BATCHED tracking (whole test set at once) ----
+    from morig_tpu.pipelines.tracking import BatchedTracker
+
+    NB = 2 if args.smoke else 8
+    btr = BatchedTracker(deform, predictor.deform_state,
+                         [track_rig] * NB, [track_entry] * NB, max_joints=8)
+    run_b = btr.make_scanned()
+    vtx0_b = np.stack([B.pad_to(cap.verts, PAD)] * NB)
+    pts_b = np.stack([seq["pts_traj"]] * NB)
+    traj_b, _, _ = run_b(vtx0_b, pts_b)                        # compile
+    t0 = time.perf_counter()
+    traj_b, _, _ = run_b(vtx0_b, pts_b)
+    dt_btrack = time.perf_counter() - t0
+    agg_fps = NB * traj_b.shape[2] / dt_btrack
+    btrack_flops = _flops_of(run_b.jitted, run_b.last_args)
+    mfu_btrack = btrack_flops / dt_btrack / (args.peak_tflops * 1e12)
+
     result = {
         "metric": "rig_predict_throughput",
         "value": round(meshes_per_sec, 3),
         "unit": "meshes/sec",
         "vs_baseline": round(meshes_per_sec / 20.0, 3),
         "tracked_frames_per_sec": round(frames_per_sec, 2),
+        "tracked_frames_per_sec_batched": round(agg_fps, 2),
+        "tracked_batch": NB,
         "flops_per_mesh": round(flops_per_mesh / 1e9, 3),  # GFLOPs
         "mfu_rig_pct": round(100 * mfu_rig, 2),
         "mfu_track_pct": round(100 * mfu_track, 2),
+        "mfu_track_batched_pct": round(100 * mfu_btrack, 2),
         "batch": Bn,
         "verts_padded": PAD,
         "keyframes": T,

@@ -211,10 +211,23 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
-    """Offline metrics (evaluate/eval_corr.py, eval_deform.py, eval_attn.py
-    equivalents): correspondence accuracy-vs-tolerance, mean flow L2, and
-    attention precision-recall on the eval split."""
+    """Offline metrics: correspondence accuracy-vs-tolerance, mean flow L2,
+    attention precision-recall (eval_corr/deform/attn equivalents), and the
+    results-folder batch workflows `eval rig` / `eval tracking`
+    (eval_rigging.py:48-131, eval_tracking.py:213-235)."""
     _setup(args)
+    if args.what in ("rig", "tracking"):
+        from morig_tpu.eval.folder_eval import (
+            eval_rig_folder, eval_tracking_folder,
+        )
+
+        if not args.res or not args.gt:
+            raise SystemExit("eval rig/tracking needs --res and --gt folders")
+        if args.what == "rig":
+            eval_rig_folder(args.res, args.gt)
+        else:
+            eval_tracking_folder(args.res, args.gt)
+        return
     import jax
 
     from morig_tpu.data.pose import eval_frame_pair
@@ -336,9 +349,12 @@ def main(argv=None):
                    help="corr checkpoint to initialize the deform extractor")
     t.set_defaults(fn=cmd_train)
 
-    ev = sub.add_parser("eval", help="offline metrics (corr/deform/attn)")
-    ev.add_argument("what", choices=["corr", "deform", "attn"])
+    ev = sub.add_parser("eval", help="offline metrics (corr/deform/attn) and "
+                                     "results-folder eval (rig/tracking)")
+    ev.add_argument("what", choices=["corr", "deform", "attn", "rig", "tracking"])
     _add_common(ev)
+    ev.add_argument("--res", default="", help="results folder (eval rig/tracking)")
+    ev.add_argument("--gt", default="", help="ground-truth folder (eval rig/tracking)")
     ev.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("predict-rig", help="full rig prediction demo")

@@ -49,6 +49,66 @@ def feature_colors(features: np.ndarray) -> np.ndarray:
     return (proj - lo) / np.maximum(hi - lo, 1e-10)
 
 
+def label_colormap(n: int) -> np.ndarray:
+    """n visually-distinct label colors in [0,1] (golden-ratio hue walk with
+    alternating saturation/value tiers).  Serves the role of the reference's
+    ADE20K/cityscapes label tables (utils/colormaps.py, used by
+    utils/vis_utils.py:127-180 to color skin/segment assignments) without
+    shipping a 263-line constant table."""
+    import colorsys
+
+    phi = 0.61803398875
+    out = np.zeros((n, 3))
+    for i in range(n):
+        h = (i * phi) % 1.0
+        s = (0.85, 0.55)[i % 2]
+        v = (0.95, 0.7)[(i // 2) % 2]
+        out[i] = colorsys.hsv_to_rgb(h, s, v)
+    return out
+
+
+def skin_colors(skins: np.ndarray) -> np.ndarray:
+    """Per-vertex color of the dominant skinning label (vis_utils.py:127
+    usage pattern): argmax joint -> label colormap."""
+    cmap = label_colormap(skins.shape[1])
+    return cmap[np.argmax(skins, axis=1)]
+
+
+def export_skinning(path: str, verts: np.ndarray, skins: np.ndarray) -> None:
+    """Skinning visualization: vertices colored by dominant joint."""
+    _write_colored_ply(path, verts, skin_colors(skins))
+
+
+def smooth_tracking_quats(rig: Rig, rest_verts: np.ndarray,
+                          quats: np.ndarray, num_pass: int = 2):
+    """Temporal quaternion smoothing + re-posing of the tracked mesh
+    (visualize_tracking.py:43-61): two passes of the 1-2-1-style neighbor
+    average over time, then FK + LBS from joint-local rest coordinates.
+
+    quats (J, T, 4) per-joint local rotations; returns
+    (vtx_traj (V, T, 3), smoothed quats)."""
+    from morig_tpu.geometry.rotations import quaternion_to_matrix
+
+    quats = np.array(quats, np.float64)
+    for _ in range(num_pass):
+        quats[:, 1:-1, :] = (quats[:, 1:-1, :] + 0.5 * quats[:, 2:, :]
+                             + 0.5 * quats[:, :-2, :]) / 2.0
+    quats /= np.maximum(np.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+
+    import jax.numpy as jnp
+
+    T = quats.shape[1]
+    traj = np.zeros((len(rest_verts), T, 3), np.float32)
+    # joint-local rest coordinates under the identity pose
+    rel = rest_verts[:, None, :] - rig.pos[None, :, :]          # (V, J, 3)
+    for t in range(T):
+        R = np.asarray(quaternion_to_matrix(jnp.asarray(quats[:, t, :])))
+        G, q = rig.fk(R)
+        moved = np.einsum("jab,vjb->vja", G, rel) + q[None]
+        traj[:, t, :] = np.einsum("vj,vja->va", rig.skins, moved)
+    return traj, quats
+
+
 def export_attention(path: str, verts: np.ndarray, attn: np.ndarray) -> None:
     """visualize_attn equivalent: vertices heat-colored by attention."""
     _write_colored_ply(path, verts, heat_colors(attn))

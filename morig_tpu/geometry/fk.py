@@ -59,6 +59,53 @@ def fk(topology: FKTopology, local_rots: jax.Array, offsets: jax.Array,
     return G, q
 
 
+def topology_arrays(parents: np.ndarray, max_joints: int):
+    """Padded array form of an FK topology for batched/vmapped FK:
+    (parents_p (Jmax,) with the root pointing at itself and padded joints at
+    themselves, level_of (Jmax,) with root=0 and padded joints=-1, depth)."""
+    parents = np.asarray(parents, int)
+    J = len(parents)
+    root = int(np.argwhere(parents < 0)[0, 0])
+    level_of = np.full(max_joints, -1, np.int32)
+    level_of[root] = 0
+    frontier = [root]
+    depth = 0
+    while frontier:
+        nxt = [j for j in range(J) if parents[j] in frontier]
+        depth += 1
+        for j in nxt:
+            level_of[j] = depth
+        frontier = nxt
+    parents_p = np.arange(max_joints, dtype=np.int32)
+    nonroot = np.argwhere(parents >= 0).reshape(-1)
+    parents_p[nonroot] = parents[nonroot]
+    return parents_p, level_of, depth
+
+
+def fk_masked(parents: jax.Array, level_of: jax.Array, local_rots: jax.Array,
+              offsets: jax.Array, max_depth: int,
+              root_trans: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+    """FK over an ARRAY topology (vmap-able across rigs with different trees).
+
+    parents (J,) int — root and padded joints point at themselves;
+    level_of (J,) int — root 0, padded -1; max_depth static (a shared upper
+    bound across the batch).  Same semantics as `fk` for the real joints;
+    padded joints keep G = local_rots, q = offsets and are masked downstream
+    by zero skin columns."""
+    G = local_rots
+    q = offsets
+    if root_trans is not None:
+        q = q + jnp.where((level_of == 0)[:, None], root_trans[None, :], 0.0)
+    for lvl in range(1, max_depth + 1):
+        sel = level_of == lvl
+        Gp = G[parents]                                   # (J,3,3)
+        Gc = Gp @ local_rots
+        qc = q[parents] + jnp.einsum("jab,jb->ja", Gp, offsets)
+        G = jnp.where(sel[:, None, None], Gc, G)
+        q = jnp.where(sel[:, None], qc, q)
+    return G, q
+
+
 def lbs_from_local(G: jax.Array, q: jax.Array, vert_local: jax.Array,
                    skins: jax.Array) -> jax.Array:
     """Blend per-joint local vertex coordinates into world positions

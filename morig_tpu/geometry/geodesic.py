@@ -84,6 +84,72 @@ def surface_geodesic(
     return dist[v2s][:, v2s].astype(np.float32)
 
 
+def vertex_bone_geodesic_device(
+    verts,                      # (V, 3)
+    bones_p,                    # (Bmax, 6) padded bones
+    bone_mask,                  # (Bmax,) bool
+    surf_geo,                   # (V, V) surface geodesic matrix (bf16 ok)
+    grid, translate, scale,     # voxel grid triple (vox_to_device)
+    inside_threshold: float = 0.90,
+    inf_offset: float = 8.0,
+    percentile: float = 0.15,
+    far_factor: float = 1.3,
+    bone_chunk: int = 8,
+):
+    """Jittable volumetric vertex→bone geodesic over PADDED bones — the
+    device end of `vertex_bone_geodesic` for the batched skin path
+    (joint2rig.py:307-360 semantics):
+
+      * voxel-LOS visibility (ray casting replacement, SURVEY §7 move 5)
+      * far-visible pruning at the per-bone `percentile` of visible
+        distances × `far_factor` (joint2rig.py:333-338)
+      * occluded pairs: min over visible vertices u of
+        surf_geo[v,u] + dist[u,b], chunked over bones to bound the (V,V,c)
+        broadcast; bones with no visible vertex fall back to the straight
+        distance (geometry/geodesic.py host path parity).
+
+    Returns geo (V, Bmax) with padded bones at +inf.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from morig_tpu.geometry.bones import vertex_bone_visibility
+
+    POS = 1e30
+    visible, dist = vertex_bone_visibility(
+        verts, bones_p, grid, translate, scale,
+        inside_threshold=inside_threshold)
+    visible = visible & bone_mask[None, :]
+    V, Bm = dist.shape
+
+    # per-bone percentile of visible distances (order statistic over the
+    # sorted column with invisible entries pushed to +inf)
+    d_sorted = jnp.sort(jnp.where(visible, dist, POS), axis=0)      # (V, Bm)
+    n_vis = jnp.sum(visible, axis=0)                                 # (Bm,)
+    k_idx = jnp.clip((percentile * (n_vis - 1)).astype(jnp.int32), 0, V - 1)
+    thr = jnp.take_along_axis(d_sorted, k_idx[None, :], axis=0)[0]   # (Bm,)
+    keep = dist <= far_factor * jnp.where(n_vis > 0, thr, POS)[None, :]
+    visible = visible & keep
+
+    dvis = jnp.where(visible, dist, POS).astype(surf_geo.dtype)
+
+    pad = (-Bm) % bone_chunk
+    dvis_p = jnp.pad(dvis, ((0, 0), (0, pad)), constant_values=POS)
+    chunks = dvis_p.reshape(V, -1, bone_chunk).transpose(1, 0, 2)    # (C,V,bc)
+
+    def min_plus(dv):                                                # (V, bc)
+        return jnp.min(surf_geo[:, :, None] + dv[None, :, :], axis=1)
+
+    fb = jax.lax.map(min_plus, chunks)                               # (C,V,bc)
+    fb = fb.transpose(1, 0, 2).reshape(V, -1)[:, :Bm].astype(jnp.float32)
+
+    any_vis = jnp.any(visible, axis=0)                               # (Bm,)
+    geo = jnp.where(visible, dist,
+                    jnp.minimum(fb, inf_offset + dist))
+    geo = jnp.where(any_vis[None, :], geo, dist)
+    return jnp.where(bone_mask[None, :], geo, POS)
+
+
 def vertex_bone_geodesic(
     verts: np.ndarray,
     bones: np.ndarray,

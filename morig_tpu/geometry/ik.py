@@ -92,6 +92,67 @@ def make_ik_solver(topology: FKTopology, cfg: IKConfig):
     return solve
 
 
+def make_ik_solver_masked(max_depth: int, cfg: IKConfig):
+    """IK solve over an ARRAY topology (geometry/fk.py fk_masked) — the
+    vmap-able form for batched multi-rig tracking.  Same numerics as
+    make_ik_solver when `valid` is all-ones and the topology matches.
+
+    solve(locals_in (J,3,3), offsets (J,3), parents (J,), level_of (J,),
+          vert_local (J,V,3), skins (V,J), constraint_idx (N,), targets
+          (N,3), vismask (N,), valid (N,))
+      -> (locals_out, G, q)
+    """
+    from morig_tpu.geometry.fk import fk_masked
+
+    rot_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                         optax.adam(cfg.lr * jnp.pi))
+    trans_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                           optax.adam(cfg.lr))
+    tx = optax.multi_transform(
+        {"rot": rot_tx, "trans": trans_tx},
+        {"rot": "rot", "trans": "trans"},
+    )
+
+    def solve(locals_in, offsets, parents, level_of, vert_local, skins,
+              constraint_idx, targets, vismask, valid):
+        J = locals_in.shape[0]
+        w = jnp.where(vismask > cfg.vismask_threshold, 1.0, cfg.w_invis)
+        w = w * valid
+        denom = 3.0 * jnp.maximum(jnp.sum(valid), 1.0)
+
+        def objective(params):
+            R = euler_to_matrix(params["rot"])
+            locals_ = R @ locals_in
+            G, q = fk_masked(parents, level_of, locals_, offsets, max_depth,
+                             params["trans"])
+            posed = lbs_from_local(G, q, vert_local, skins)
+            sel = posed[constraint_idx]
+            err = jnp.sum((sel - targets) ** 2, axis=-1)
+            return jnp.sum(err * w) / denom
+
+        params = {
+            "rot": jnp.full((J, 3), cfg.init_angle, jnp.float32),
+            "trans": jnp.full((3,), cfg.init_angle, jnp.float32),
+        }
+        opt_state = tx.init(params)
+        grad_fn = jax.grad(objective)
+
+        def body(_, carry):
+            params, opt_state = carry
+            g = grad_fn(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        params, _ = jax.lax.fori_loop(0, cfg.iters, body, (params, opt_state))
+        R = euler_to_matrix(params["rot"])
+        locals_out = R @ locals_in
+        G, q = fk_masked(parents, level_of, locals_out, offsets, max_depth,
+                         params["trans"])
+        return locals_out, G, q
+
+    return solve
+
+
 def ik_objective_weights(vismask: jax.Array, threshold: float, w_invis: float) -> jax.Array:
     """Visibility weighting of deform_ik.py:70-71."""
     return jnp.where(vismask > threshold, 1.0, w_invis)

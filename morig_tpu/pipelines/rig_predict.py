@@ -275,18 +275,24 @@ class RigPredictor:
 
         return self._jit(f"skelnets_vox{int(has_vox)}_{max_joints}", fn)
 
-    def _skin_full_program(self):
+    def _skin_full_program(self, geodesic: bool = False):
         """The whole device end of the skin stage in ONE program: vertex-to-
         bone distances over a padded bone axis, K-nearest descriptor packing
         (pack_skin_descriptors semantics, on device), SkinMotion forward,
-        scatter to the padded bone axis, smoothing, pruning."""
+        scatter to the padded bone axis, smoothing, pruning.
+
+        With `geodesic` the vertex→bone distance is the reference-faithful
+        VOLUMETRIC geodesic (voxel-LOS visibility + surface-geodesic fallback
+        for occluded pairs, joint2rig.py:307-360) computed on device from the
+        cached per-mesh surface-geodesic matrix; otherwise the euclidean
+        point-to-segment fast path."""
         import jax
 
         from morig_tpu.geometry.skinning import post_filter_skin, prune_and_normalize
 
         K = self.cfg.model.nearest_bone
 
-        def fn(params, stats, bones_packed, flow, mesh):
+        def fn(params, stats, bones_packed, flow, mesh, surf_geo, grid, tr, sc):
             import jax.numpy as jnp
 
             # one packed upload: [6 endpoint coords | isleaf | valid]
@@ -295,10 +301,18 @@ class RigPredictor:
             bone_mask = bones_packed[..., 7] > 0.5
             Bmax = bones_p.shape[1]
 
-            def desc_one(verts, bones, isleaf, bmask):
+            def desc_one(verts, bones, isleaf, bmask, sg, g, t, s):
                 Vn = verts.shape[0]
-                d, _ = point_to_segment_dist(verts, bones)          # (V, Bmax)
-                d = jnp.where(bmask[None, :], d, 1e30)
+                if geodesic:
+                    from morig_tpu.geometry.geodesic import (
+                        vertex_bone_geodesic_device,
+                    )
+
+                    d = vertex_bone_geodesic_device(
+                        verts, bones, bmask, sg, g, t, s)           # (V, Bmax)
+                else:
+                    d, _ = point_to_segment_dist(verts, bones)      # (V, Bmax)
+                    d = jnp.where(bmask[None, :], d, 1e30)
                 neg, nn = jax.lax.top_k(-d, K)                      # (V, K)
                 dk = -neg
                 ok = jnp.take_along_axis(
@@ -312,8 +326,14 @@ class RigPredictor:
                 ], axis=-1).reshape(Vn, K * 8)
                 return desc, nn, ok.astype(jnp.float32)
 
-            desc, nn, lmask = jax.vmap(desc_one)(
-                mesh.verts, bones_p, isleaf_p, bone_mask)
+            if geodesic:
+                desc, nn, lmask = jax.vmap(desc_one)(
+                    mesh.verts, bones_p, isleaf_p, bone_mask, surf_geo,
+                    grid, tr, sc)
+            else:
+                desc, nn, lmask = jax.vmap(
+                    lambda v, b, i, m: desc_one(v, b, i, m, None, None, None, None)
+                )(mesh.verts, bones_p, isleaf_p, bone_mask)
             _, _, logits = self.skin_stage.model.apply(
                 {"params": params, "batch_stats": stats}, desc, flow, mesh, False)
             probs = jax.nn.softmax(logits, axis=-1) * lmask          # (B, V, K)
@@ -335,14 +355,14 @@ class RigPredictor:
             # renormalized in fp32 on the host after the cast
             return pruned.astype(jnp.bfloat16)
 
-        return self._jit("skin_full", fn)
+        return self._jit(f"skin_full_geo{int(geodesic)}", fn)
 
     def predict_rig_batch(
         self,
         mesh_entries: Sequence[dict],
         pts_frames_list: Sequence[np.ndarray],   # per mesh (T, P, 3)
         voxes: Optional[Sequence] = None,
-        geo_dists: Optional[Sequence[np.ndarray]] = None,
+        surf_geos: Optional[Sequence[np.ndarray]] = None,
         max_joints: int = 48,
         timings: Optional[dict] = None,
         device_cache: Optional[dict] = None,
@@ -380,10 +400,6 @@ class RigPredictor:
 
         from morig_tpu.geometry.clustering import nms_flip_host
 
-        assert geo_dists is None, (
-            "predict_rig_batch uses the on-device euclidean point-to-segment "
-            "path; for precomputed volumetric geodesics use predict_rig per mesh"
-        )
         Bn = len(mesh_entries)
         T = pts_frames_list[0].shape[0]
         cache = device_cache if device_cache is not None else {}
@@ -419,6 +435,22 @@ class RigPredictor:
                        jnp.stack([t[1] for t in triples]),
                        jnp.stack([t[2] for t in triples]))
             cache["vox"] = vox_dev
+        # Per-mesh surface-geodesic matrices (mesh-dependent, prediction-
+        # independent — the reference caches them to .npy the same way,
+        # joint2rig.py:502-506) enable the volumetric skin-descriptor path.
+        # Padded rows/cols are +inf so the occluded-pair fallback can never
+        # route through a padding vertex; bf16 halves the HBM residency.
+        sg_dev = cache.get("surf_geo")
+        if sg_dev is None and surf_geos is not None and vox_dev is not None:
+            V_pad = mesh_entries[0]["verts"].shape[0]
+            mats = []
+            for sg in surf_geos:
+                a = np.full((V_pad, V_pad), 1e30, np.float32)
+                n = sg.shape[0]
+                a[:n, :n] = np.minimum(sg, 1e30)
+                mats.append(a)
+            sg_dev = jnp.asarray(np.stack(mats), jnp.bfloat16)
+            cache["surf_geo"] = sg_dev
 
         # ---- stages 1-3 in ONE dispatch: (B*T) flow forward + joint/mask
         # nets + device joint extraction; packed outputs -> ONE fetch; the
@@ -510,9 +542,11 @@ class RigPredictor:
             bones_packed[i, :nb, 6] = np.asarray(isleaf[:nb], np.float32)
             bones_packed[i, :nb, 7] = 1.0
             bones_list.append(bones[:nb])
-        pruned = np.asarray(self._skin_full_program()(
+        use_geo = sg_dev is not None and vox_dev is not None
+        pruned = np.asarray(self._skin_full_program(geodesic=use_geo)(
             self.skin_state.params, self.skin_state.batch_stats,
-            jnp.asarray(bones_packed), flow, mesh_b)).astype(np.float32)
+            jnp.asarray(bones_packed), flow, mesh_b,
+            sg_dev, grid, tr, sc)).astype(np.float32)
         rs = pruned.sum(-1, keepdims=True)                  # renorm post-bf16
         pruned = np.where(rs > 0, pruned / np.maximum(rs, 1e-9), 0.0)
         mark("skin_device")

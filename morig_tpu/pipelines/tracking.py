@@ -214,3 +214,144 @@ def make_scanned_tracker(tracker: Tracker):
 
     run_host.jitted = run
     return run_host
+
+
+class BatchedTracker:
+    """Whole-test-set tracking: N rigged meshes tracked simultaneously in one
+    scanned device program (VERDICT r2 next #4; the reference loops the test
+    set one mesh at a time, eval_tracking.py:207-235).
+
+    All meshes share the padded vertex count, point count, and a padded joint
+    axis `max_joints`; per-rig trees become array topologies (fk_masked), so
+    the per-frame chain (one (B)-batch DeformNet forward -> vmapped IK stage
+    1 -> vmapped correspondence gate -> vmapped IK stage 2) is a single
+    compiled step scanned over the frame axis.  Aggregate tracked frames/sec
+    scales with B until the chip saturates.
+    """
+
+    def __init__(self, deform_stage, deform_state, rigs, mesh_entries,
+                 cfg: TrackingConfig = TrackingConfig(),
+                 max_joints: int = 32):
+        from morig_tpu.geometry.fk import fk_masked, topology_arrays
+        from morig_tpu.geometry.ik import make_ik_solver_masked
+
+        assert len(rigs) == len(mesh_entries)
+        self.stage = deform_stage
+        self.state = deform_state
+        self.cfg = cfg
+        Bn = len(rigs)
+        V = mesh_entries[0]["verts"].shape[0]
+        Jm = max_joints
+
+        parents_l, levels_l, offsets_l, skins_l, depth = [], [], [], [], 0
+        for rig, entry in zip(rigs, mesh_entries):
+            assert entry["verts"].shape[0] == V, "shared vertex pad required"
+            J = rig.num_joints
+            assert J <= Jm, (J, Jm)
+            p, lv, d = topology_arrays(rig.parents, Jm)
+            depth = max(depth, d)
+            parents_l.append(p)
+            levels_l.append(lv)
+            off = np.zeros((Jm, 3), np.float32)
+            off[:J] = rig.offsets()
+            offsets_l.append(off)
+            sk_p = np.zeros((V, Jm), np.float32)
+            nv = int(np.asarray(entry["vert_mask"]).sum())
+            sk_p[:nv, :J] = rig.skins
+            skins_l.append(sk_p)
+        self.max_depth = depth
+        self.parents = jnp.asarray(np.stack(parents_l))         # (B,Jm)
+        self.levels = jnp.asarray(np.stack(levels_l))
+        self.offsets = jnp.asarray(np.stack(offsets_l))         # (B,Jm,3)
+        self.skins = jnp.asarray(np.stack(skins_l))             # (B,V,Jm)
+        self.mesh_b = B.stack_meshes(list(mesh_entries))
+        self.vert_mask = self.mesh_b.vert_mask                  # (B,V)
+        eye = np.repeat(np.eye(3, dtype=np.float32)[None], Jm, 0)
+        self.eye = jnp.asarray(np.repeat(eye[None], Bn, 0))     # (B,Jm,3,3)
+
+        fk_b = jax.vmap(lambda p, l, r, o: fk_masked(p, l, r, o, depth))
+        G0, q0 = fk_b(self.parents, self.levels, self.eye, self.offsets)
+        self.vert_local0 = jax.vmap(verts_to_local)(G0, q0, self.mesh_b.verts)
+
+        self.solver1 = make_ik_solver_masked(depth, IKConfig(
+            iters=cfg.ik_iters_stage1, lr=cfg.ik_lr_stage1,
+            weight_decay=cfg.ik_weight_decay,
+            vismask_threshold=cfg.vismask_threshold, w_invis=0.0))
+        self.solver2 = make_ik_solver_masked(depth, IKConfig(
+            iters=cfg.ik_iters_stage2, lr=cfg.ik_lr_stage2,
+            weight_decay=cfg.ik_weight_decay,
+            vismask_threshold=cfg.vismask_threshold, w_invis=0.0))
+
+    def _corr_filter(self, vtx_f, pts_f, posed, pts, vismask, vmask):
+        """Per-mesh correspondence gate (eval_tracking.py:84-111) with the
+        padded vertices excluded from the argmax."""
+        sim = vtx_f @ pts_f.T                                   # (V,P)
+        sim = jnp.where(vmask[:, None], sim, -1e30)
+        best_v = jnp.argmax(sim, axis=0)
+        best_sim = jnp.max(sim, axis=0)
+        l2 = jnp.sum((posed[best_v] - pts) ** 2, axis=-1)
+        keep = (best_sim > self.cfg.corr_sim_threshold) & \
+               (l2 < self.cfg.corr_l2_threshold)
+        w = keep.astype(jnp.float32) * (vismask[best_v] > self.cfg.vismask_threshold)
+        return best_v, w
+
+    def make_scanned(self):
+        """run(vtx0 (B,V,3), pts_traj (B,P,T,3)) ->
+        (traj (B,V,T-1,3), vis (B,V,T-1), quats (B,Jm,T-1,4))."""
+        Bn, V = self.vert_mask.shape
+
+        def flow_fn(verts_b, pts_b):
+            mesh = dataclasses.replace(self.mesh_b, verts=verts_b)
+            points = B.PointBatch(pts_b, jnp.ones(pts_b.shape[:2], bool))
+            empty_idx = jnp.zeros((Bn, 1, 2), jnp.int32)
+            empty_mask = jnp.zeros((Bn, 1), bool)
+            sample = B.PoseSample(
+                mesh=mesh, points=points,
+                corr=B.CorrBatch(empty_idx, empty_mask, empty_idx, empty_mask),
+                vismask=jnp.zeros(mesh.vert_mask.shape),
+                gt_flow=jnp.zeros(mesh.verts.shape))
+            pred_flow, vtx_f, pts_f, vis, _ = self.stage.infer(self.state, sample)
+            return pred_flow, vtx_f, pts_f, vis
+
+        arange_v = jnp.broadcast_to(jnp.arange(V)[None], (Bn, V))
+        vmask_f = self.vert_mask.astype(jnp.float32)
+
+        def step(verts_b, pts_b):
+            pred_flow, vtx_f, pts_f, vis = flow_fn(verts_b, pts_b)
+            vert_shift = verts_b + pred_flow
+            locals1, G1, q1 = jax.vmap(self.solver1)(
+                self.eye, self.offsets, self.parents, self.levels,
+                self.vert_local0, self.skins, arange_v, vert_shift, vis,
+                vmask_f)
+            posed1 = jax.vmap(lbs_from_local)(G1, q1, self.vert_local0, self.skins)
+            best_v, w = jax.vmap(self._corr_filter)(
+                vtx_f, pts_f, posed1, pts_b, vis, self.vert_mask)
+            vert_local1 = jax.vmap(verts_to_local)(G1, q1, posed1)
+            ones_p = jnp.ones(w.shape, jnp.float32)
+            locals2, G2, q2 = jax.vmap(self.solver2)(
+                locals1, self.offsets, self.parents, self.levels,
+                vert_local1, self.skins, best_v, pts_b, w, ones_p)
+            posed2 = jax.vmap(lbs_from_local)(G2, q2, vert_local1, self.skins)
+            quats = matrix_to_quaternion(locals2)
+            return posed2, (posed2, vis, quats)
+
+        @jax.jit
+        def run(vtx0, pts_seq):
+            # pts_seq (T-1, B, P, 3)
+            _, (traj, vis, quats) = jax.lax.scan(step, vtx0, pts_seq)
+            return traj, vis, quats
+
+        def run_host(vtx0_b, pts_traj_b):
+            """vtx0_b (B,V,3) padded rest verts; pts_traj_b (B,P,T,3)."""
+            pts_seq = jnp.asarray(
+                np.transpose(np.asarray(pts_traj_b, np.float32)[:, :, 1:, :],
+                             (2, 0, 1, 3)))
+            v0 = jnp.asarray(vtx0_b, jnp.float32)
+            run_host.last_args = (v0, pts_seq)
+            traj, vis, quats = run(v0, pts_seq)
+            return (np.transpose(np.asarray(traj), (1, 2, 0, 3)),
+                    np.transpose(np.asarray(vis), (1, 2, 0)),
+                    np.transpose(np.asarray(quats), (1, 2, 0, 3)))
+
+        run_host.jitted = run
+        return run_host

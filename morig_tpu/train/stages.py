@@ -115,11 +115,15 @@ class CorrPoseStage:
         return self._get_step("eval", self.train_vismask)(state, batch)
 
     def infer(self, state, batch: PoseSample, train_vismask: bool = True):
-        """Forward pass for evaluation dumps (train_corr_pose.py:110-130)."""
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch.mesh, batch.points, False, train_vismask, None,
-        )
+        """Forward pass for evaluation dumps (train_corr_pose.py:110-130).
+        Jitted: an eager flax apply costs one tunnel round trip PER OP on a
+        remote backend."""
+        key = ("infer", train_vismask)
+        if key not in self._steps:
+            self._steps[key] = jax.jit(lambda s, b, tv=train_vismask: s.apply_fn(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                b.mesh, b.points, False, tv, None))
+        return self._steps[key](state, batch)
 
 
 class DeformPoseStage:
@@ -245,11 +249,12 @@ class DeformPoseStage:
 
     def infer(self, state, batch: PoseSample):
         """Flow inference (used by tracking and by pred_flow dumps for the
-        rig stage, train_deform_pose.py:116-127)."""
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch.mesh, batch.points, False, None,
-        )
+        rig stage, train_deform_pose.py:116-127).  Jitted (see CorrPoseStage)."""
+        if "infer" not in self._steps:
+            self._steps["infer"] = jax.jit(lambda s, b: s.apply_fn(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                b.mesh, b.points, False, None))
+        return self._steps["infer"](state, batch)
 
 
 class RigStage:
@@ -364,11 +369,11 @@ class RigStage:
     def infer(self, state, input_flow, mesh):
         """Returns (motion_all, motion_aggr, prediction).  For jointnet the
         shifted points are verts + tanh(pred) (train_rig.py:224-225); for
-        masknet apply sigmoid to get attention."""
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            input_flow, mesh, False,
-        )
+        masknet apply sigmoid to get attention.  Jitted (see CorrPoseStage)."""
+        if "infer" not in self._steps:
+            self._steps["infer"] = jax.jit(lambda s, f, m: s.apply_fn(
+                {"params": s.params, "batch_stats": s.batch_stats}, f, m, False))
+        return self._steps["infer"](state, input_flow, mesh)
 
 
 class SkinStage:
@@ -471,10 +476,11 @@ class SkinStage:
         return self._get_step("eval")(state, batch, rng)
 
     def infer(self, state, skin_input, input_flow, mesh):
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            skin_input, input_flow, mesh, False,
-        )
+        if "infer" not in self._steps:
+            self._steps["infer"] = jax.jit(lambda s, si, f, m: s.apply_fn(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                si, f, m, False))
+        return self._steps["infer"](state, skin_input, input_flow, mesh)
 
 
 class BoneStage:
@@ -545,12 +551,13 @@ class BoneStage:
         return self._get_step("eval")(state, batch)
 
     def infer(self, state, batch):
-        """Connectivity logits for skeleton assembly (joint2rig.py:210-216)."""
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch.mesh, batch.joints, batch.joints_mask,
-            batch.pairs, batch.pair_attr, False,
-        )
+        """Connectivity logits for skeleton assembly (joint2rig.py:210-216).
+        Jitted (see CorrPoseStage)."""
+        if "infer" not in self._steps:
+            self._steps["infer"] = jax.jit(lambda s, b: s.apply_fn(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                b.mesh, b.joints, b.joints_mask, b.pairs, b.pair_attr, False))
+        return self._steps["infer"](state, batch)
 
 
 class RootStage:
@@ -624,8 +631,10 @@ class RootStage:
         return self._get_step("eval")(state, batch)
 
     def infer(self, state, batch):
-        """Per-joint root logits (getInitId, joint2rig.py:27-38)."""
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch.mesh, batch.joints, batch.joints_mask, False,
-        )
+        """Per-joint root logits (getInitId, joint2rig.py:27-38).  Jitted
+        (see CorrPoseStage)."""
+        if "infer" not in self._steps:
+            self._steps["infer"] = jax.jit(lambda s, b: s.apply_fn(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                b.mesh, b.joints, b.joints_mask, False))
+        return self._steps["infer"](state, batch)

@@ -108,3 +108,48 @@ def test_scanned_tracker_matches_loop():
     np.testing.assert_allclose(traj1, traj2, atol=1e-5)
     np.testing.assert_allclose(quat1, quat2, atol=1e-5)
     assert np.isfinite(vis2).all()
+
+
+def test_batched_tracker_matches_single():
+    """BatchedTracker (array-topology FK + vmapped IK) must reproduce the
+    single-mesh scanned tracker per mesh (VERDICT r2 next #4)."""
+    from morig_tpu.core.config import TrackingConfig
+    from morig_tpu.pipelines.tracking import (
+        BatchedTracker, make_scanned_tracker,
+    )
+    from morig_tpu.train.stages import DeformPoseStage
+    from morig_tpu.data.pose import capsule_pose_dataset
+
+    seq = make_capsule_sequence(num_frames=3, num_points=64, n_lat=9, n_lon=8,
+                                partial=False, max_bend=0.4)
+    cap = seq["rig"]
+    rig = sk.Rig(names=list(cap.names), pos=cap.joints.astype(float),
+                 parents=cap.parents, skins=cap.skins)
+    PAD = 128
+    entry = B.build_mesh(cap.verts, seq["tpl_edges"], seq["geo_edges"], PAD)
+    nv = len(cap.verts)
+
+    ds = capsule_pose_dataset(num_models=1, num_frames=3, num_points=64,
+                              n_lat=9, n_lon=8)
+    stage = DeformPoseStage()
+    state = stage.init_state(jax.random.key(0), ds.batch([0], 0, 1))
+
+    cfg = TrackingConfig(ik_iters_stage1=15, ik_iters_stage2=15)
+    single = Tracker(stage, state, rig, entry, cfg=cfg, num_points=64)
+    run_single = make_scanned_tracker(single)
+    traj_s, vis_s, quats_s = run_single(cap.verts, seq["pts_traj"])
+
+    batched = BatchedTracker(stage, state, [rig, rig], [entry, entry],
+                             cfg=cfg, max_joints=8)
+    vtx0 = np.stack([B.pad_to(cap.verts, PAD)] * 2)
+    pts_b = np.stack([seq["pts_traj"]] * 2)
+    run_b = batched.make_scanned()
+    traj_b, vis_b, quats_b = run_b(vtx0, pts_b)
+
+    assert traj_b.shape[:2] == (2, PAD)
+    for i in range(2):
+        np.testing.assert_allclose(traj_b[i, :nv], traj_s, atol=2e-3)
+        np.testing.assert_allclose(vis_b[i, :nv], vis_s, atol=1e-4)
+        J = rig.num_joints
+        np.testing.assert_allclose(np.abs(quats_b[i, :J]), np.abs(quats_s),
+                                   atol=2e-2)

@@ -300,9 +300,9 @@ def main():
         g = g / np.maximum(g.sum(-1, keepdims=True), 1e-9)
         skin_l1s.append(float(np.abs(p - g).sum(-1)[vm].mean()))
 
-    # tracking on held-out creature 0 (GT rig, 21-frame sequence)
+    # tracking on held-out creature 0 (GT rig, whole-sequence scanned program)
     from morig_tpu.core import batch as B
-    from morig_tpu.pipelines.tracking import Tracker
+    from morig_tpu.pipelines.tracking import Tracker, make_scanned_tracker
 
     seq = make_creature_sequence(seed=test_seeds[0], num_frames=11,
                                  num_points=min(n_pts, 512), target_verts=tv)
@@ -312,9 +312,12 @@ def main():
     entry = B.build_mesh(c.verts, seq["tpl_edges"], seq["geo_edges"],
                          B.bucket_size(len(c.verts), (1024, 2048, 4096)))
     tracker = Tracker(deform, deform_state, gt_rig, entry)
+    run_tracker = make_scanned_tracker(tracker)
     t0 = time.time()
-    traj, vis, quats = tracker.run(c.verts, seq["pts_traj"])
+    traj, vis, quats = run_tracker(c.verts, seq["pts_traj"])
     terr = flow_errors(traj, seq["vtx_traj"][:, 1:, :], seq["vismask"][:, 1:])
+    np.savez(os.path.join(res_dir, f"creature{test_seeds[0]}_tracking.npz"),
+             pred_vtx_traj=traj, pred_vismask=vis, pred_quats=quats)
     print(f"[campaign] tracking: {terr} ({time.time()-t0:.0f}s)")
 
     summary = dict(
