@@ -21,7 +21,9 @@ import numpy as np
 
 
 def _add_common(p):
-    p.add_argument("--data", default="capsule", help="'capsule' or a dataset folder")
+    p.add_argument("--data", default="capsule",
+                   help="'capsule', 'creature' (branching synthetic family), "
+                        "or a dataset folder in the reference layout")
     p.add_argument("--kind", default="modelsresource",
                    choices=["modelsresource", "deformingthings"])
     p.add_argument("--sequential", action="store_true")
@@ -66,6 +68,12 @@ def _pose_dataset(args, shape: bool = False):
         nf = 2 if shape else 6
         return capsule_pose_dataset(num_models=args.num_models, num_frames=nf,
                                     **_fixture_kw(args))
+    if args.data == "creature":
+        from morig_tpu.data.creature import creature_pose_dataset
+
+        nf = 2 if shape else 6
+        return creature_pose_dataset(num_models=args.num_models, seed=args.seed,
+                                     num_frames=nf)
     if shape:
         from morig_tpu.data.loaders import load_shape_models
 
@@ -80,6 +88,10 @@ def _rig_dataset(args):
 
     if args.data == "capsule":
         return capsule_rig_dataset(num_models=args.num_models, **_fixture_kw(args))
+    if args.data == "creature":
+        from morig_tpu.data.creature import creature_rig_dataset
+
+        return creature_rig_dataset(num_models=args.num_models, seed=args.seed)
     from morig_tpu.data.loaders import load_rig_models
 
     return RigDataset(load_rig_models(args.data))
@@ -188,7 +200,13 @@ def cmd_train(args):
         from morig_tpu.data.skeleton_data import capsule_skel_dataset
         from morig_tpu.train.stages import BoneStage, RootStage
 
-        if args.data != "capsule":
+        if args.data == "creature":
+            # diverse joint sets: GT + perturbed copies per creature
+            from morig_tpu.data.creature import creature_skel_dataset
+
+            sample = creature_skel_dataset(num_models=args.num_models,
+                                           seed=args.seed)
+        elif args.data != "capsule":
             from morig_tpu.data.rig import RigDataset
             from morig_tpu.data.loaders import load_rig_models
             from morig_tpu.data.skeleton_data import build_skel_sample
@@ -299,9 +317,24 @@ def cmd_predict_rig(args):
     predictor, pose_ds, rig_ds = capsule_predictor(train_steps=args.train_steps)
     for i, m in enumerate(pose_ds.models):
         pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
-        rig = predictor.predict_rig(rig_ds._mesh_cache[i], pts_frames)
+        entry = rig_ds._mesh_cache[i]
+        rig = predictor.predict_rig(entry, pts_frames)
         out = os.path.join(args.out, f"{m.name}_rig.txt")
         rig.save(out)
+        if args.save_intermediates:
+            # the eval_rigging.py artifact pair (shifted pts + attention,
+            # train_rig.py:257,264) consumed by `eval rig --res`
+            from morig_tpu.data.mesh_io import write_ply_points
+            from morig_tpu.geometry import skeleton as sk
+
+            shifted, attn = predictor.predict_shift_attn(
+                entry, predictor.predict_flow(entry, pts_frames))
+            write_ply_points(os.path.join(args.out, f"{m.name}_shift.ply"), shifted)
+            np.save(os.path.join(args.out, f"{m.name}_attn.npy"), attn)
+            gt = rig_ds.models[i].rig
+            sk.Rig(names=list(gt.names), pos=gt.pos, parents=gt.parents,
+                   skins=gt.skins).save(
+                os.path.join(args.out, f"{m.name}_gt_rig.txt"))
         print(f"{m.name}: {rig.num_joints} joints -> {out}")
 
 
@@ -361,6 +394,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--out", default="results")
     p.add_argument("--train-steps", type=int, default=10)
+    p.add_argument("--save-intermediates", action="store_true",
+                   help="also dump {name}_shift.ply/_attn.npy/_gt_rig.txt "
+                        "(the eval_rigging.py artifact layout)")
     p.set_defaults(fn=cmd_predict_rig)
 
     b = sub.add_parser("bench", help="rig-prediction throughput benchmark")

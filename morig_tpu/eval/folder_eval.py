@@ -84,10 +84,13 @@ def eval_rig_folder(res_folder: str, gt_folder: str,
         raise FileNotFoundError(f"no *_rig.txt in {res_folder}")
     rows = []
     for name in names:
-        gt_path = os.path.join(gt_folder, f"{name}_rig.txt")
+        # prefer the explicit _gt_rig artifact: with --res and --gt pointing
+        # at the same results folder, {name}_rig.txt is the PREDICTION
+        gt_path = os.path.join(gt_folder, f"{name}_gt_rig.txt")
         if not os.path.exists(gt_path):
-            gt_path = os.path.join(gt_folder, f"{name}_gt_rig.txt")
-        if not os.path.exists(gt_path):
+            gt_path = os.path.join(gt_folder, f"{name}_rig.txt")
+        if not os.path.exists(gt_path) or os.path.samefile(
+                gt_path, os.path.join(res_folder, f"{name}_rig.txt")):
             print(f"  [skip] {name}: no GT rig in {gt_folder}")
             continue
         pred = sk.Rig.load(os.path.join(res_folder, f"{name}_rig.txt"))
@@ -118,6 +121,9 @@ def eval_rig_folder(res_folder: str, gt_folder: str,
         row["num_gt_joints"] = gt.num_joints
         rows.append((name, row))
 
+    if not rows:
+        raise FileNotFoundError(
+            f"no predictions in {res_folder} had a GT rig in {gt_folder}")
     agg = {}
     for key in ("chamfer_j2j", "joint_IoU", "joint_precision", "joint_recall",
                 "chamfer_j2b", "chamfer_b2b"):

@@ -71,8 +71,9 @@ class RigPredictor:
         return np.concatenate([flow[t] for t in range(T)], axis=-1)
 
     # -- stages 2-3: joints -------------------------------------------------
-    def predict_joints(self, mesh_entry: dict, flow: np.ndarray,
-                       vox: Optional[Voxels] = None) -> np.ndarray:
+    def predict_shift_attn(self, mesh_entry: dict, flow: np.ndarray):
+        """Shifted points + attention for the valid vertices — the artifact
+        pair train_rig.py:257,264 dumps for eval_rigging.py."""
         import jax.numpy as jnp
 
         mesh = B.stack_meshes([mesh_entry])
@@ -82,10 +83,15 @@ class RigPredictor:
         vmask = np.asarray(mesh.vert_mask[0])
         shifted = np.asarray(mesh.verts[0] + jnp.tanh(shift[0]))[vmask]
         attn = (1.0 / (1.0 + np.exp(-np.asarray(attn_logits[0]))))[vmask]
+        return shifted, attn.reshape(-1)
+
+    def predict_joints(self, mesh_entry: dict, flow: np.ndarray,
+                       vox: Optional[Voxels] = None) -> np.ndarray:
+        shifted, attn = self.predict_shift_attn(mesh_entry, flow)
         inside = (lambda p: inside_check_np(p, vox)) if vox is not None else None
         jc = self.cfg.joints
         return extract_joints(
-            shifted, attn.reshape(-1), inside_fn=inside,
+            shifted, attn, inside_fn=inside,
             bandwidth_quantile=jc.bandwidth_quantile,
             attn_keep_threshold=jc.attn_threshold,
             density_threshold=jc.density_threshold,

@@ -251,13 +251,18 @@ def main():
     entries = [rig_te._mesh_cache[i] for i in range(len(test_seeds))]
     pts_list = [np.stack([pose_te.models[i].pts_traj[:, t, :] for t in range(1, 6)])
                 for i in range(len(test_seeds))]
-    # voxelize from creature faces (regenerate; deterministic by seed)
+    # voxelize + surface geodesics from creature faces (regenerate;
+    # deterministic by seed) — the volumetric skin-descriptor path
     from morig_tpu.data.creature import make_creature
-    voxes = []
+    from morig_tpu.geometry.geodesic import surface_geodesic
+
+    voxes, surf_geos = [], []
     for s_ in test_seeds:
         c = make_creature(s_, target_verts=tv)
         voxes.append(voxelize_mesh(c.verts, c.faces))
-    rigs = predictor.predict_rig_batch(entries, pts_list, voxes=voxes)
+        surf_geos.append(surface_geodesic(c.verts, c.faces))
+    rigs = predictor.predict_rig_batch(entries, pts_list, voxes=voxes,
+                                       surf_geos=surf_geos)
     for i, s_ in enumerate(test_seeds):
         m = rig_te.models[i]
         gt = m.rig
