@@ -246,25 +246,43 @@ def main():
         from morig_tpu.geometry.geodesic import surface_geodesic
         from morig_tpu.nn import gcu
 
+        from morig_tpu.data.preprocess import apply_vertex_order, rcm_vertex_order
+        from morig_tpu.kernels.edge_fused import check_neighbor_locality
+
         for tv, res, bucket in ((900, 40, 1024), (1900, 48, 2048),
                                 (3800, 62, 4096)):
             cseq = make_creature_sequence(seed=7, num_frames=T + 1,
                                           num_points=1024, target_verts=tv,
                                           res=res)
             cr = cseq["rig"]
-            centry = B.build_mesh(cr.verts, cseq["tpl_edges"], cseq["geo_edges"],
-                                  bucket, tpl_max_degree=12, geo_max_degree=12)
+            # RCM-reorder: bounds neighbor index distance by the graph
+            # bandwidth so the windowed kernel's halo precondition holds
+            order = rcm_vertex_order(len(cr.verts), cseq["tpl_edges"],
+                                     cseq["geo_edges"])
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            cverts, ctpl, cgeo = apply_vertex_order(
+                order, cr.verts, cseq["tpl_edges"], cseq["geo_edges"])
+            cfaces = inv[cr.faces]
+            centry = B.build_mesh(cverts, ctpl, cgeo, bucket,
+                                  tpl_max_degree=12, geo_max_degree=12)
             NBk = 8
-            cvox = voxelize_mesh(cr.verts, cr.faces, dims=88)
-            csurf = surface_geodesic(cr.verts, cr.faces)
+            cvox = voxelize_mesh(cverts, cfaces, dims=88)
+            csurf = surface_geodesic(cverts, cfaces)
             cpts = [np.transpose(cseq["pts_traj"][:, 1:T + 1, :], (1, 0, 2))] * NBk
-            from morig_tpu.kernels.edge_fused import check_neighbor_locality
-
-            local_k = all(
-                check_neighbor_locality(np.asarray(centry[k])[None],
-                                        tile_v=gcu.get_edge_tile())
-                for k in ("tpl_nbr", "geo_nbr"))
-            gcu.set_edge_impl("windowed" if local_k else "fused")
+            # per-bucket kernel selection: the windowed kernel's one-hot
+            # gather scratch is (D*TV, 3*TV) — only TV=128 fits the 16 MB
+            # scoped-VMEM budget at H=256; full-table fused only where its
+            # V-wide gather fits (V <= 2048); XLA otherwise
+            if bucket % 128 == 0 and all(
+                check_neighbor_locality(np.asarray(centry[k])[None], tile_v=128)
+                for k in ("tpl_nbr", "geo_nbr")
+            ):
+                gcu.set_edge_tile(128)
+                impl = "windowed"
+            else:
+                impl = "fused" if bucket <= 2048 else "xla"
+            gcu.set_edge_impl(impl)
             pk = RigPredictor(
                 deform, predictor.deform_state, joint, predictor.joint_state,
                 mask, predictor.mask_state, root, predictor.root_state,
@@ -279,6 +297,7 @@ def main():
                 pk.predict_rig_batch([centry] * NBk, cpts, voxes=[cvox] * NBk,
                                      surf_geos=[csurf] * NBk, device_cache=ck)
             bucket_tp[str(bucket)] = round(NBk * n_it / (time.perf_counter() - t0), 2)
+        gcu.set_edge_tile(TILE)
         gcu.set_edge_impl("windowed" if local else "fused")
 
     result = {

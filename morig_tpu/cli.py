@@ -316,10 +316,15 @@ def cmd_predict_rig(args):
     os.makedirs(args.out, exist_ok=True)
     predictor, pose_ds, rig_ds = capsule_predictor(train_steps=args.train_steps)
     for i, m in enumerate(pose_ds.models):
+        out = os.path.join(args.out, f"{m.name}_rig.txt")
+        if os.path.exists(out) and not args.force:
+            # resumable-DAG property: skip models whose artifact exists
+            # (joint2rig.py:287-288)
+            print(f"{m.name}: exists, skipped ({out})")
+            continue
         pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
         entry = rig_ds._mesh_cache[i]
         rig = predictor.predict_rig(entry, pts_frames)
-        out = os.path.join(args.out, f"{m.name}_rig.txt")
         rig.save(out)
         if args.save_intermediates:
             # the eval_rigging.py artifact pair (shifted pts + attention,
@@ -397,6 +402,9 @@ def main(argv=None):
     p.add_argument("--save-intermediates", action="store_true",
                    help="also dump {name}_shift.ply/_attn.npy/_gt_rig.txt "
                         "(the eval_rigging.py artifact layout)")
+    p.add_argument("--force", action="store_true",
+                   help="recompute even when {name}_rig.txt exists "
+                        "(default skips, joint2rig.py:287-288)")
     p.set_defaults(fn=cmd_predict_rig)
 
     b = sub.add_parser("bench", help="rig-prediction throughput benchmark")

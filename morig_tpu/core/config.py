@@ -97,6 +97,18 @@ class SkinPostConfig:
     prune_ratio_rig: float = 0.35
     prune_ratio_eval: float = 0.5
     post_filter_rings: int = 1
+    # volumetric skin-descriptor path (joint2rig.py:307-360 on device):
+    # fallback min-plus anchor count (None = all vertices, exact host parity;
+    # ~1/3 of the padded vertex count keeps occluded-pair distances within a
+    # few percent — the same spirit as the reference's ~1500-vertex geodesic
+    # subsampling, joint2rig.py:319) and LOS samples per (vertex, bone) ray
+    geo_anchors: int | None = 512
+    geo_los_samples: int = 16
+    # per-vertex LOS rays only on the K' euclidean-nearest bones (the
+    # geodesic reordering only drops occluded bones OUT of the final
+    # nearest_bone=K set, so K' ≳ 2K keeps the selected set); None = rays
+    # to every bone
+    geo_candidates: int | None = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,6 +95,9 @@ def vertex_bone_geodesic_device(
     percentile: float = 0.15,
     far_factor: float = 1.3,
     bone_chunk: int = 8,
+    num_anchors: int | None = None,
+    los_samples: int = 32,
+    num_candidates: int | None = None,
 ):
     """Jittable volumetric vertex→bone geodesic over PADDED bones — the
     device end of `vertex_bone_geodesic` for the batched skin path
@@ -108,46 +111,144 @@ def vertex_bone_geodesic_device(
         broadcast; bones with no visible vertex fall back to the straight
         distance (geometry/geodesic.py host path parity).
 
+    Two throughput knobs, both None for exact host-path parity:
+
+    `num_anchors` restricts the fallback's intermediate vertices to a strided
+    subset: the (V,V,B) min-plus becomes (V,A,B) at a small upper-bias in
+    occluded-pair distances — the same kind of approximation as the
+    reference's own 1500-vertex subsampling of the geodesic matrix
+    (joint2rig.py:319).  The subset is a strided ROW slice of the symmetric
+    surf_geo, never a gather — a gather of anchor columns fuses into the
+    min-plus reduction as scalar loads (~3x the whole skin program).
+
+    `num_candidates` (requires num_anchors) runs the per-vertex LOS sampling
+    — the dominant cost, one voxel-grid gather per sample per (vertex, bone)
+    pair — only on each vertex's K' euclidean-nearest bones.  The skin
+    descriptors keep just the K=nearest_bone geodesically-nearest bones
+    (joint2rig.py:416-438), and occluded bones only ever move AWAY in the
+    geodesic ordering, so K' ≳ 2K candidates preserve the selected set; the
+    anchor rows (which serve as min-plus sources AND the percentile-pruning
+    statistic) still see every bone.  Non-candidate pairs return +inf.
+
     Returns geo (V, Bmax) with padded bones at +inf.
     """
     import jax
     import jax.numpy as jnp
 
-    from morig_tpu.geometry.bones import vertex_bone_visibility
+    from morig_tpu.geometry.bones import point_to_segment_dist
+    from morig_tpu.geometry.voxel import segment_inside_fraction
 
     POS = 1e30
-    visible, dist = vertex_bone_visibility(
-        verts, bones_p, grid, translate, scale,
-        inside_threshold=inside_threshold)
-    visible = visible & bone_mask[None, :]
-    V, Bm = dist.shape
+    V = verts.shape[0]
+    Bm = bones_p.shape[0]
+    use_cand = (num_candidates is not None and num_candidates < Bm
+                and num_anchors is not None)
 
-    # per-bone percentile of visible distances (order statistic over the
-    # sorted column with invisible entries pushed to +inf)
-    d_sorted = jnp.sort(jnp.where(visible, dist, POS), axis=0)      # (V, Bm)
-    n_vis = jnp.sum(visible, axis=0)                                 # (Bm,)
-    k_idx = jnp.clip((percentile * (n_vis - 1)).astype(jnp.int32), 0, V - 1)
-    thr = jnp.take_along_axis(d_sorted, k_idx[None, :], axis=0)[0]   # (Bm,)
-    keep = dist <= far_factor * jnp.where(n_vis > 0, thr, POS)[None, :]
-    visible = visible & keep
+    if not use_cand:
+        from morig_tpu.geometry.bones import vertex_bone_visibility
 
-    dvis = jnp.where(visible, dist, POS).astype(surf_geo.dtype)
+        visible, dist = vertex_bone_visibility(
+            verts, bones_p, grid, translate, scale,
+            num_samples=los_samples, inside_threshold=inside_threshold)
+        visible = visible & bone_mask[None, :]
 
+        # per-bone percentile of visible distances (order statistic over the
+        # sorted column with invisible entries pushed to +inf)
+        d_sorted = jnp.sort(jnp.where(visible, dist, POS), axis=0)  # (V, Bm)
+        n_vis = jnp.sum(visible, axis=0)                            # (Bm,)
+        k_idx = jnp.clip((percentile * (n_vis - 1)).astype(jnp.int32),
+                         0, V - 1)
+        thr = jnp.take_along_axis(d_sorted, k_idx[None, :], axis=0)[0]
+        keep = dist <= far_factor * jnp.where(n_vis > 0, thr, POS)[None, :]
+        visible = visible & keep
+
+        dvis = jnp.where(visible, dist, POS).astype(surf_geo.dtype)
+        if num_anchors is not None and num_anchors < V:
+            stride = max(V // num_anchors, 1)
+            sgT = jax.lax.slice(surf_geo, (0, 0), (V, V), (stride, 1))
+            dvis_a = jax.lax.slice(dvis, (0, 0), (V, Bm), (stride, 1))
+        else:
+            sgT, dvis_a = surf_geo, dvis                            # sym.
+
+        pad = (-Bm) % bone_chunk
+        dvis_p = jnp.pad(dvis_a, ((0, 0), (0, pad)), constant_values=POS)
+        chunks = dvis_p.reshape(dvis_a.shape[0], -1,
+                                bone_chunk).transpose(1, 0, 2)
+
+        def min_plus(dv):                                           # (A, bc)
+            return jnp.min(sgT[:, :, None] + dv[:, None, :], axis=0)
+
+        fb = jax.lax.map(min_plus, chunks)                          # (C,V,bc)
+        fb = fb.transpose(1, 0, 2).reshape(V, -1)[:, :Bm].astype(jnp.float32)
+
+        any_vis = jnp.any(visible, axis=0)                          # (Bm,)
+        geo = jnp.where(visible, dist, jnp.minimum(fb, inf_offset + dist))
+        geo = jnp.where(any_vis[None, :], geo, dist)
+        return jnp.where(bone_mask[None, :], geo, POS)
+
+    # ---- candidate-restricted path (the throughput configuration) ----
+    Kc = num_candidates
+    stride = max(V // num_anchors, 1)
+
+    dist, foot = point_to_segment_dist(verts, bones_p)              # (V,Bm)
+    dist = jnp.where(bone_mask[None, :], dist, POS)
+
+    # one LOS pass over the ANCHOR rows serves every bone: it provides the
+    # per-bone percentile-pruning statistic AND the min-plus source
+    # distances. (A,3) anchors are the same strided subset as the sgT rows.
+    averts = jax.lax.slice(verts, (0, 0), (V, 3), (stride, 1))      # (A,3)
+    dist_a = jax.lax.slice(dist, (0, 0), (V, Bm), (stride, 1))      # (A,Bm)
+    foot_a = jax.lax.slice(foot, (0, 0, 0), (V, Bm, 3), (stride, 1, 1))
+    A = averts.shape[0]
+    starts_a = jnp.broadcast_to(averts[:, None, :], (A, Bm, 3))
+    frac_a = segment_inside_fraction(
+        starts_a.reshape(-1, 3), foot_a.reshape(-1, 3),
+        grid, translate, scale, los_samples).reshape(A, Bm)
+    vis_a = (frac_a >= inside_threshold) & bone_mask[None, :]
+
+    d_sorted = jnp.sort(jnp.where(vis_a, dist_a, POS), axis=0)      # (A,Bm)
+    n_vis = jnp.sum(vis_a, axis=0)                                  # (Bm,)
+    k_idx = jnp.clip((percentile * (n_vis - 1)).astype(jnp.int32), 0, A - 1)
+    thr = jnp.take_along_axis(d_sorted, k_idx[None, :], axis=0)[0]  # (Bm,)
+    far_thr = far_factor * jnp.where(n_vis > 0, thr, POS)           # (Bm,)
+    vis_a = vis_a & (dist_a <= far_thr[None, :])
+
+    # per-vertex LOS only on the Kc euclidean-nearest bones
+    negd, cidx = jax.lax.top_k(-dist, Kc)                           # (V,Kc)
+    dist_c = -negd
+    foot_c = jnp.take_along_axis(foot, cidx[..., None], axis=1)     # (V,Kc,3)
+    starts_c = jnp.broadcast_to(verts[:, None, :], (V, Kc, 3))
+    frac_c = segment_inside_fraction(
+        starts_c.reshape(-1, 3), foot_c.reshape(-1, 3),
+        grid, translate, scale, los_samples).reshape(V, Kc)
+    cmask = jnp.take_along_axis(
+        jnp.broadcast_to(bone_mask[None, :], (V, Bm)), cidx, axis=1)
+    vis_c = (frac_c >= inside_threshold) & cmask
+    vis_c = vis_c & (dist_c <= far_thr[cidx])
+
+    # min-plus fallback over anchors for ALL bones (cheap VPU broadcast),
+    # then select the candidate columns
+    dvis_a = jnp.where(vis_a, dist_a, POS).astype(surf_geo.dtype)
+    sgT = jax.lax.slice(surf_geo, (0, 0), (V, V), (stride, 1))      # (A,V)
     pad = (-Bm) % bone_chunk
-    dvis_p = jnp.pad(dvis, ((0, 0), (0, pad)), constant_values=POS)
-    chunks = dvis_p.reshape(V, -1, bone_chunk).transpose(1, 0, 2)    # (C,V,bc)
+    dvis_p = jnp.pad(dvis_a, ((0, 0), (0, pad)), constant_values=POS)
+    chunks = dvis_p.reshape(A, -1, bone_chunk).transpose(1, 0, 2)
 
-    def min_plus(dv):                                                # (V, bc)
-        return jnp.min(surf_geo[:, :, None] + dv[None, :, :], axis=1)
+    def min_plus(dv):                                               # (A, bc)
+        return jnp.min(sgT[:, :, None] + dv[:, None, :], axis=0)
 
-    fb = jax.lax.map(min_plus, chunks)                               # (C,V,bc)
+    fb = jax.lax.map(min_plus, chunks)                              # (C,V,bc)
     fb = fb.transpose(1, 0, 2).reshape(V, -1)[:, :Bm].astype(jnp.float32)
+    fb_c = jnp.take_along_axis(fb, cidx, axis=1)                    # (V,Kc)
 
-    any_vis = jnp.any(visible, axis=0)                               # (Bm,)
-    geo = jnp.where(visible, dist,
-                    jnp.minimum(fb, inf_offset + dist))
-    geo = jnp.where(any_vis[None, :], geo, dist)
-    return jnp.where(bone_mask[None, :], geo, POS)
+    any_vis = jnp.take_along_axis(
+        jnp.broadcast_to((n_vis > 0)[None, :], (V, Bm)), cidx, axis=1)
+    geo_c = jnp.where(vis_c, dist_c, jnp.minimum(fb_c, inf_offset + dist_c))
+    geo_c = jnp.where(any_vis, geo_c, dist_c)
+    geo_c = jnp.where(cmask, geo_c, POS)
+
+    out = jnp.full((V, Bm), POS, jnp.float32)
+    return out.at[jnp.arange(V)[:, None], cidx].set(geo_c)
 
 
 def vertex_bone_geodesic(

@@ -228,12 +228,26 @@ class RigPredictor:
                 quantile=jc.bandwidth_quantile, num_iter=jc.meanshift_max_iter,
                 attn_threshold=jc.attn_threshold, symmetrize=True,
                 has_vox=has_vox)
+            # Compact to the top-D selected rows by density before the fetch:
+            # the tunnel moves ~8 MB/s, so the (B, 2V, 6) f32 cluster table
+            # dominates iteration overhead.  NMS only consumes SELECTED rows,
+            # and rows dropped at D=1024 are the lowest-density points that
+            # lose to denser nearby modes anyway.  f16 halves it again
+            # (positions exact to ~5e-4; counts exact through 2048).
+            N2 = moved.shape[1]
+            D = min(1024, N2)
+            key = jnp.where(sel2, counts.astype(jnp.float32)
+                            + jnp.clip(attn2, 0.0, 1.0), -1.0)
+            _, didx = jax.lax.top_k(key, D)                       # (B, D)
             packed = jnp.concatenate([
-                moved,
-                counts[..., None].astype(jnp.float32),
-                attn2[..., None].astype(jnp.float32),
-                sel2[..., None].astype(jnp.float32),
-            ], axis=-1)
+                jnp.take_along_axis(moved, didx[..., None], axis=1),
+                jnp.take_along_axis(counts.astype(jnp.float32),
+                                    didx, axis=1)[..., None],
+                jnp.take_along_axis(attn2.astype(jnp.float32),
+                                    didx, axis=1)[..., None],
+                jnp.take_along_axis(sel2.astype(jnp.float32),
+                                    didx, axis=1)[..., None],
+            ], axis=-1).astype(jnp.float16)
             return flow, packed, bw
 
         return self._jit(f"flow_joints_vox{int(has_vox)}_{Bn}_{T}", fn)
@@ -314,8 +328,12 @@ class RigPredictor:
                         vertex_bone_geodesic_device,
                     )
 
+                    sp = self.cfg.skin_post
                     d = vertex_bone_geodesic_device(
-                        verts, bones, bmask, sg, g, t, s)           # (V, Bmax)
+                        verts, bones, bmask, sg, g, t, s,
+                        num_anchors=sp.geo_anchors,
+                        los_samples=sp.geo_los_samples,
+                        num_candidates=sp.geo_candidates)           # (V, Bmax)
                 else:
                     d, _ = point_to_segment_dist(verts, bones)      # (V, Bmax)
                     d = jnp.where(bmask[None, :], d, 1e30)
@@ -475,6 +493,7 @@ class RigPredictor:
         V = flow.shape[1]
         mark("flow", flow)
         arr, bws = jax.device_get((packed, bw_dev))
+        arr = np.asarray(arr, np.float32)  # fetched f16; host math in f32
         moved, counts = arr[..., 0:3], arr[..., 3]
         attn2, sel2 = arr[..., 4], arr[..., 5] > 0.5
         mark("jointcluster_device")
@@ -538,11 +557,23 @@ class RigPredictor:
         # ---- stage 5: skinning.  One packed bones upload; distances,
         # descriptor packing, SkinMotion, scatter, smoothing and pruning all
         # in ONE device program; one download; numpy assembly ----
-        Bmax = 2 * max_joints                     # get_bones <= 2*(J-1) bones
+        # The bone axis is padded to the BATCH max rounded up to a power of
+        # two (floor 8, cap 2*max_joints = the get_bones <= 2*(J-1) bound):
+        # padding it statically to 2*max_joints would run the volumetric
+        # geodesic (LOS rays + min-plus fallback) over ~10x more bone slots
+        # than real bones on typical meshes.  Power-of-two buckets keep the
+        # number of distinct compiled shapes logarithmic.
+        hard_cap = 2 * max_joints
+        raw = [sk.get_bones(s) for s in skels]
+        nb_batch = max(min(len(r[0]), hard_cap) for r in raw)
+        Bmax = 8
+        while Bmax < nb_batch:
+            Bmax *= 2
+        Bmax = min(Bmax, hard_cap)
         bones_packed = np.zeros((Bn, Bmax, 8), np.float32)
         bones_list = []
         for i in range(Bn):
-            bones, _, isleaf = sk.get_bones(skels[i])
+            bones, _, isleaf = raw[i]
             nb = min(len(bones), Bmax)
             bones_packed[i, :nb, :6] = bones[:nb]
             bones_packed[i, :nb, 6] = np.asarray(isleaf[:nb], np.float32)

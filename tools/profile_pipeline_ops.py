@@ -1,5 +1,8 @@
 """Per-op device profile of one full predict_rig_batch iteration at bench
-shapes — aggregates the device track across all pipeline programs."""
+shapes — aggregates the device track across all pipeline programs.
+
+--geo additionally passes per-mesh surface-geodesic matrices so the
+reference-faithful volumetric skin-descriptor path is the one profiled."""
 import collections, glob, gzip, json, os, sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,7 +27,7 @@ def main():
     )
 
     kw = dict(num_points=1024, n_lat=37, n_lon=36)
-    Bn, T = 8, 5
+    Bn, T = (32 if "--b32" in sys.argv else 8), 5
     pose_ds = capsule_pose_dataset(num_models=Bn, num_frames=T + 1, **kw)
     V_raw = pose_ds.models[0].vtx_traj.shape[0]
     PAD = ((V_raw + 255) // 256) * 256
@@ -36,6 +39,11 @@ def main():
     cap = make_capsule_rig(kw["n_lat"], kw["n_lon"])
     vox = voxelize_mesh(cap.verts, cap.faces, dims=88)
     voxes = [vox] * Bn
+    surf_geos = None
+    if "--geo" in sys.argv:
+        from morig_tpu.geometry.geodesic import surface_geodesic
+
+        surf_geos = [surface_geodesic(cap.verts, cap.faces)] * Bn
     local = all(check_neighbor_locality(np.asarray(e[k])[None], tile_v=128)
                 for e in entries for k in ("tpl_nbr", "geo_nbr"))
     gcu.set_edge_tile(128)
@@ -58,10 +66,12 @@ def main():
         skin, skin.init_state(rng, rig_b))
     dcache = {}
     predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
+                                surf_geos=surf_geos,
                                 device_cache=dcache)  # compile
     with jax.profiler.trace("/tmp/pipetrace"):
         for _ in range(2):
             predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
+                                        surf_geos=surf_geos,
                                         device_cache=dcache)
 
     d = sorted(glob.glob("/tmp/pipetrace/plugins/profile/*"))[-1]
