@@ -88,6 +88,41 @@ def _fusable(channels, V, H1, H2, tile_v=None, allow_small=False):
         return False
 
 
+# Model-unit budget calibrated on v5e Mosaic stack accounting: the estimate
+# below overcounts actual scoped-VMEM use by ~1.5x (measured: model 27.3 MB
+# <-> actual 18.08 MB OOM at D=16,V=2048,H=256,TV=256; model 24.1 MB <->
+# actual <=16 MB pass at H1=128), so 21 MB model-units ~= 14 MB actual,
+# a safe margin under the 16 MB scoped limit.
+_VMEM_BUDGET = 21 * 2 ** 20
+
+
+def _vmem_tile(V, D, H1, H2, tile_v, windowed=False):
+    """Largest vertex tile <= tile_v whose fused-kernel stack fits scoped
+    VMEM, or None if no tile does (caller falls back to XLA).
+
+    The full-table kernel materializes a (D*TV, V) bf16 one-hot, a
+    (D*TV, P1) f32 gather and (D*TV, P2) f32 tail intermediates on the
+    Mosaic stack, plus the double-buffered (V, P1) bf16 table block; the
+    windowed kernel's gather width is 3*TV rows instead of V.  Exceeding
+    the ~16 MB scoped budget is a COMPILE error (not a slowdown), so the
+    dispatch must never emit a kernel over budget.  The windowed halo
+    precondition (check_neighbor_locality at tile_v) does not survive a
+    tile change, so windowed only ever uses the requested tile."""
+    P1 = max(128, -(-H1 // 128) * 128)
+    P2 = max(128, -(-H2 // 128) * 128)
+    for tv in (tile_v, 128, 64, 32):
+        if tv > tile_v or V % tv or tv % 8:
+            continue
+        width = 3 * tv if windowed else V
+        need = D * tv * (2 * width + 4 * P1 + 4 * max(P1, P2)) \
+            + 4 * width * P1
+        if need <= _VMEM_BUDGET:
+            return tv
+        if windowed:
+            return None
+    return None
+
+
 class _Norm(nn.Module):
     """One post-ReLU normalization stage honoring the process default."""
 
@@ -154,22 +189,33 @@ class EdgeMLP(nn.Module):
             # mixed-precision noise the default recipe doesn't assume.
             tile = _EDGE_TILE
             windowed = impl == "windowed" and V // tile >= 3
+            D = nbr.shape[-1]
             base_ok = impl != "xla" and not self.is_initializing()
             args = (a.astype(jnp.float32), b.astype(jnp.float32),
                     nbr, nbr_mask, w2, b2, g1, be1, g2, be2)
             # sub-128-wide layers only pay off (and are worth their Mosaic
             # compile time) on large meshes; tiny fixtures keep XLA gathers
             allow_small = V >= 1024
-            if base_ok and not train and _fusable(self.channels, V, h1, h2,
-                                                 allow_small=allow_small):
+            tv = _vmem_tile(V, D, h1, h2, tile, windowed=windowed)
+            if windowed and tv is None:       # halo tile over budget: try
+                windowed = False              # the full-table kernel instead
+                tv = _vmem_tile(V, D, h1, h2, tile)
+            if (base_ok and not train and tv is not None
+                    and _fusable(self.channels, V, h1, h2,
+                                 allow_small=allow_small)):
                 from morig_tpu.kernels import edge_fused as ef
 
                 # any channel width: sub-128 layers go through the lane-
                 # padded dispatch (the XLA gather path costs ~3x a full
                 # fused 128-wide layer even at H=16)
                 return ef.fused_edge_mlp_auto(*args, windowed=windowed,
-                                              tile_v=tile)
+                                              tile_v=tv)
+            # the trainable wrapper runs its forward at the kernel-default
+            # tile (256), so its budget gate must be evaluated there
+            tv_tr = min(256, V)
             if (base_ok and train and impl in ("fused", "windowed")
+                    and _vmem_tile(V, D, h1, h2, tv_tr,
+                                   windowed=windowed) == tv_tr
                     and _fusable(self.channels, V, h1, h2)):
                 from morig_tpu.kernels import edge_fused as ef
 

@@ -5,6 +5,12 @@ Runs one predict_rig_batch to populate the program cache + recorded args
 tunnel-safe fence — block_until_ready is unreliable on the axon backend).
 
   python tools/profile_programs.py [--geo] [--batch 32] [--iters 3]
+
+--roofline additionally pulls flops + bytes-accessed from each program's
+XLA cost analysis and reports arithmetic intensity, the HBM-vs-MXU bound,
+the speed-of-light time under the v5e roofline (flops/peak_flops vs
+bytes/peak_bw, whichever is larger) and the % of that bound achieved —
+the record the VERDICT asks for to explain the rig path's MFU.
 """
 from __future__ import annotations
 
@@ -37,6 +43,11 @@ def main():
     ap.add_argument("--geo", action="store_true")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--roofline", action="store_true")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="v5e bf16 peak")
+    ap.add_argument("--peak-gbs", type=float, default=819.0,
+                    help="v5e HBM bandwidth GB/s")
     args = ap.parse_args()
 
     from morig_tpu.core import batch as B
@@ -98,6 +109,9 @@ def main():
     predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
                                 surf_geos=surf_geos, device_cache=dcache)
 
+    if args.roofline:
+        print(f"{'program':28s} {'ms':>8s} {'GFLOP':>8s} {'GB':>7s} "
+              f"{'AI':>7s} {'bound':>7s} {'SoL ms':>8s} {'%SoL':>6s}")
     for name, w in predictor._jit_cache.items():
         a = predictor._last_args.get(name)
         if a is None or args.iters <= 0:
@@ -107,7 +121,25 @@ def main():
         for _ in range(args.iters):
             fence(w.jitted(*a))
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"  {name:28s}: {dt*1e3:8.1f} ms")
+        if not args.roofline:
+            print(f"  {name:28s}: {dt*1e3:8.1f} ms")
+            continue
+        try:
+            cost = w.jitted.lower(*a).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            fl = float(cost.get("flops", 0.0))
+            by = float(cost.get("bytes accessed", 0.0))
+        except Exception:
+            fl = by = 0.0
+        t_mxu = fl / (args.peak_tflops * 1e12)
+        t_hbm = by / (args.peak_gbs * 1e9)
+        sol = max(t_mxu, t_hbm)
+        bound = "MXU" if t_mxu >= t_hbm else "HBM"
+        ai = fl / max(by, 1.0)
+        pct = 100.0 * sol / dt if dt > 0 else 0.0
+        print(f"{name:28s} {dt*1e3:8.1f} {fl/1e9:8.2f} {by/1e9:7.3f} "
+              f"{ai:7.1f} {bound:>7s} {sol*1e3:8.2f} {pct:5.1f}%")
 
     if os.environ.get("DUMP_FUSION"):
         tname, fname = os.environ["DUMP_FUSION"].split(":")
