@@ -177,3 +177,22 @@ def test_small_channel_windowed_auto_parity_interpret():
     got = ef.fused_edge_mlp_auto(*args, windowed=True, tile_v=256,
                                  interpret=True)
     _assert_close_tol(got, ref, args[3], 0.15)
+
+
+def test_vmem_tile_gate():
+    """The dispatch-side scoped-VMEM budget model: shapes known to OOM the
+    16 MB scoped limit must shrink the tile or fall back (None); known-good
+    bench shapes keep their tile; windowed never shrinks (its locality
+    precondition is tile-specific)."""
+    from morig_tpu.nn.gcu import _vmem_tile
+
+    # campaign val-step shape that OOM'd at TV=256 (18.08 MB actual)
+    assert _vmem_tile(2048, 16, 256, 256, 256) == 128
+    # round-2 bench shape, compiled + ran at TV=256
+    assert _vmem_tile(1536, 12, 256, 256, 256) == 256
+    # windowed halo at tile 128 fits; an over-budget windowed tile must
+    # return None rather than shrink
+    assert _vmem_tile(2048, 16, 256, 256, 128, windowed=True) == 128
+    assert _vmem_tile(8192, 16, 512, 512, 512, windowed=True) is None
+    # giant full-table: no tile fits -> XLA fallback
+    assert _vmem_tile(16384, 16, 512, 512, 256) is None
