@@ -289,9 +289,12 @@ class RigPredictor:
             pair_logits = self.bone_stage.model.apply(
                 {"params": bparams, "batch_stats": bstats},
                 mesh, joints, jmask, pairs_b, attr, False)
-            # [root | pair logits | pair inside-fractions] in one fetch
+            # [root | pair logits | pair inside-fractions] in one fetch;
+            # f16 halves the (B, J + 2P) transfer over the ~8 MB/s tunnel
+            # (logit resolution ~3e-2 at |x|=50: immaterial to argmax-root,
+            # sigmoid->-log MST costs, and the 0.5 frac threshold)
             return jnp.concatenate([root_logits[..., 0], pair_logits[..., 0],
-                                    frac], axis=1)
+                                    frac], axis=1).astype(jnp.float16)
 
         return self._jit(f"skelnets_vox{int(has_vox)}_{max_joints}", fn)
 
@@ -527,7 +530,8 @@ class RigPredictor:
             vox_dev is not None, max_joints)(
             self.root_state.params, self.root_state.batch_stats,
             self.bone_state.params, self.bone_state.batch_stats,
-            jnp.asarray(joints_p), jnp.asarray(jmask), mesh_b, grid, tr, sc))
+            jnp.asarray(joints_p), jnp.asarray(jmask), mesh_b, grid, tr, sc),
+            np.float32)  # fetched f16; host math in f32
         max_pairs = max_joints * (max_joints - 1) // 2
         root_logits = logits[:, :max_joints]
         pair_logits = logits[:, max_joints:max_joints + max_pairs]
