@@ -138,14 +138,17 @@ def run_epochs(
     logger: Optional[MetricLogger] = None,
     start_epoch: int = 0,
     rng: Optional[jax.Array] = None,
+    init_lowest: float = float("inf"),
 ):
     """The shared epoch loop: train / val / test + best-on-val checkpointing
-    (train_corr_pose.py:223-247 semantics, for every stage)."""
+    (train_corr_pose.py:223-247 semantics, for every stage).  Pass
+    ``start_epoch``/``init_lowest`` from a loaded checkpoint's metadata to
+    resume a crashed run without resetting the best-on-val tracker."""
     from morig_tpu.train import checkpoint as ckpt
 
     logger = logger or MetricLogger(None)
     rng = rng if rng is not None else jax.random.key(0)
-    lowest = float("inf")
+    lowest = init_lowest
     best_epoch = -1
     for epoch in range(start_epoch, epochs):
         stage.on_epoch(epoch)

@@ -70,6 +70,16 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
         state, meta = ckpt.load_checkpoint(state, best_path)
         print(f"[campaign] {name}: loaded (best epoch {meta.get('epoch')})")
         return state
+    # epoch-level crash resume: the TPU tunnel worker can die mid-stage;
+    # checkpoint.msgpack is written every epoch with {epoch, lowest_loss}.
+    start_epoch, init_lowest = 0, float("inf")
+    last_path = os.path.join(d, "checkpoint.msgpack")
+    if os.path.exists(last_path):
+        state, meta = ckpt.load_checkpoint(state, last_path)
+        start_epoch = int(meta.get("epoch", 0))
+        init_lowest = float(meta.get("lowest_loss", float("inf")))
+        print(f"[campaign] {name}: resuming at epoch {start_epoch} "
+              f"(lowest val {init_lowest:.4f})")
     t0 = time.time()
     logger = MetricLogger(d)
     state, best = run_epochs(
@@ -79,6 +89,7 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
         test_batches=None,
         epochs=epochs, checkpoint_dir=d, logger=logger,
         rng=jax.random.key(seed + 1),
+        start_epoch=start_epoch, init_lowest=init_lowest,
     )
     state, meta = ckpt.load_checkpoint(state, best_path)
     mark_done(d, dict(best_epoch=best, seconds=time.time() - t0))
