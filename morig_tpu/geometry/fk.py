@@ -116,6 +116,30 @@ def lbs_from_local(G: jax.Array, q: jax.Array, vert_local: jax.Array,
     return jnp.einsum("vj,jva->va", skins, moved)
 
 
+def blend_palette(G: jax.Array, q: jax.Array,
+                  ref_G: jax.Array, ref_q: jax.Array) -> jax.Array:
+    """Per-joint affine maps from reference-pose world coords to the new
+    pose, packed as (J, 12) rows [A row-major | b] with A_j = G_j ref_G_j^T
+    and b_j = q_j - A_j ref_q_j (ref_G orthogonal, so A is the exact
+    relative transform)."""
+    A = jnp.einsum("jab,jcb->jac", G, ref_G)
+    b = q - jnp.einsum("jab,jb->ja", A, ref_q)
+    return jnp.concatenate([A.reshape(A.shape[0], 9), b], axis=-1)
+
+
+def lbs_blend(G: jax.Array, q: jax.Array, ref_G: jax.Array, ref_q: jax.Array,
+              ref_verts: jax.Array, skins: jax.Array) -> jax.Array:
+    """LBS in matrix-palette form: blend the per-joint affines with one
+    (V, J) @ (J, 12) matmul, then apply one affine per vertex.  Numerically
+    equivalent to ``lbs_from_local(G, q, verts_to_local(ref_G, ref_q,
+    ref_verts), skins)`` but with no (J, V, 3) intermediates — this is the
+    MXU-friendly form for the 600-iteration IK hot loop
+    (eval_tracking.py:56-171 runs the same math vertex-major on CUDA)."""
+    P = skins @ blend_palette(G, q, ref_G, ref_q)        # (V, 12)
+    M = P[:, :9].reshape(-1, 3, 3)
+    return jnp.einsum("vab,vb->va", M, ref_verts) + P[:, 9:]
+
+
 def verts_to_local(G: jax.Array, q: jax.Array, verts: jax.Array) -> jax.Array:
     """Express world vertices in every joint's local frame (the inverse
     homogeneous transform of eval_tracking.py:60-61): x_jv = G_j^T (v - q_j)."""

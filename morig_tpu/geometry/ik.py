@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from morig_tpu.geometry.fk import FKTopology, fk, lbs_from_local
+from morig_tpu.geometry.fk import FKTopology, fk, lbs_blend
 from morig_tpu.geometry.rotations import euler_to_matrix
 
 
@@ -41,9 +41,16 @@ class IKConfig:
 def make_ik_solver(topology: FKTopology, cfg: IKConfig):
     """Build a jitted IK solve for one rig topology.
 
-    solve(locals_in (J,3,3), offsets (J,3), vert_local (J,V,3), skins (V,J),
-          constraint_idx (N,) int, targets (N,3), vismask (N,))
+    solve(locals_in (J,3,3), offsets (J,3), ref_G (J,3,3), ref_q (J,3),
+          ref_verts (V,3), skins (V,J), constraint_idx (N,) int,
+          targets (N,3), vismask (N,))
       -> (locals_out (J,3,3), G (J,3,3), q (J,3))
+
+    `ref_G/ref_q/ref_verts` define the reference pose the vertices are bound
+    in (what the CUDA path precomputes as per-joint local coords,
+    eval_tracking.py:60-61).  The hot loop blends per-joint affines with one
+    (N, J) @ (J, 12) matmul over the CONSTRAINED rows only — both the
+    constraint gather and the skin-row gather are loop-invariant and hoisted.
     """
     J = topology.num_joints
 
@@ -57,15 +64,17 @@ def make_ik_solver(topology: FKTopology, cfg: IKConfig):
     )
 
     @jax.jit
-    def solve(locals_in, offsets, vert_local, skins, constraint_idx, targets, vismask):
+    def solve(locals_in, offsets, ref_G, ref_q, ref_verts, skins,
+              constraint_idx, targets, vismask):
         w = jnp.where(vismask > cfg.vismask_threshold, 1.0, cfg.w_invis)
+        v_c = ref_verts[constraint_idx]                          # (N,3)
+        sk_c = skins[constraint_idx]                             # (N,J)
 
         def objective(params):
             R = euler_to_matrix(params["rot"])
             locals_ = R @ locals_in
             G, q = fk(topology, locals_, offsets, params["trans"])
-            posed = lbs_from_local(G, q, vert_local, skins)      # (V,3)
-            sel = posed[constraint_idx]                          # (N,3)
+            sel = lbs_blend(G, q, ref_G, ref_q, v_c, sk_c)       # (N,3)
             err = jnp.sum((sel - targets) ** 2, axis=-1)
             # mean over N constraints x 3 coords (deform_ik.py:112-113)
             return jnp.mean(err * w) / 3.0
@@ -98,8 +107,8 @@ def make_ik_solver_masked(max_depth: int, cfg: IKConfig):
     make_ik_solver when `valid` is all-ones and the topology matches.
 
     solve(locals_in (J,3,3), offsets (J,3), parents (J,), level_of (J,),
-          vert_local (J,V,3), skins (V,J), constraint_idx (N,), targets
-          (N,3), vismask (N,), valid (N,))
+          ref_G (J,3,3), ref_q (J,3), ref_verts (V,3), skins (V,J),
+          constraint_idx (N,), targets (N,3), vismask (N,), valid (N,))
       -> (locals_out, G, q)
     """
     from morig_tpu.geometry.fk import fk_masked
@@ -113,20 +122,21 @@ def make_ik_solver_masked(max_depth: int, cfg: IKConfig):
         {"rot": "rot", "trans": "trans"},
     )
 
-    def solve(locals_in, offsets, parents, level_of, vert_local, skins,
-              constraint_idx, targets, vismask, valid):
+    def solve(locals_in, offsets, parents, level_of, ref_G, ref_q, ref_verts,
+              skins, constraint_idx, targets, vismask, valid):
         J = locals_in.shape[0]
         w = jnp.where(vismask > cfg.vismask_threshold, 1.0, cfg.w_invis)
         w = w * valid
         denom = 3.0 * jnp.maximum(jnp.sum(valid), 1.0)
+        v_c = ref_verts[constraint_idx]                          # (N,3)
+        sk_c = skins[constraint_idx]                             # (N,J)
 
         def objective(params):
             R = euler_to_matrix(params["rot"])
             locals_ = R @ locals_in
             G, q = fk_masked(parents, level_of, locals_, offsets, max_depth,
                              params["trans"])
-            posed = lbs_from_local(G, q, vert_local, skins)
-            sel = posed[constraint_idx]
+            sel = lbs_blend(G, q, ref_G, ref_q, v_c, sk_c)       # (N,3)
             err = jnp.sum((sel - targets) ** 2, axis=-1)
             return jnp.sum(err * w) / denom
 

@@ -21,7 +21,7 @@ import numpy as np
 from morig_tpu.core import batch as B
 from morig_tpu.core.config import TrackingConfig
 from morig_tpu.geometry import skeleton as sk
-from morig_tpu.geometry.fk import FKTopology, fk, lbs_from_local, verts_to_local
+from morig_tpu.geometry.fk import FKTopology, fk, lbs_blend
 from morig_tpu.geometry.ik import IKConfig, make_ik_solver
 from morig_tpu.geometry.rotations import matrix_to_quaternion
 
@@ -63,8 +63,8 @@ class Tracker:
         self.vert_mask = jnp.asarray(mesh_entry["vert_mask"])
         nv = int(self.vert_mask.sum())
         self.num_valid = nv
-        # joint-local coordinates of the (valid slice of the) rest vertices
-        self.vert_local0 = verts_to_local(G0, q0, self.rest_verts[:nv])
+        # valid slice of the rest vertices — the stage-1 reference pose
+        self.rest_v = self.rest_verts[:nv]
 
         self.solver1 = make_ik_solver(self.topo, IKConfig(
             iters=cfg.ik_iters_stage1, lr=cfg.ik_lr_stage1,
@@ -114,20 +114,19 @@ class Tracker:
 
         # stage 1: drag rest-pose rig toward the flow-deformed vertices
         locals1, G1, q1 = self.solver1(
-            self.eye, self.offsets, self.vert_local0, self.skins,
+            self.eye, self.offsets, self.G0, self.q0, self.rest_v, self.skins,
             jnp.arange(nv), vert_shift, vis_v,
         )
-        posed1 = lbs_from_local(G1, q1, self.vert_local0, self.skins)
+        posed1 = lbs_blend(G1, q1, self.G0, self.q0, self.rest_v, self.skins)
 
         # stage 2: refine against the raw points through gated correspondences
         pts_j = jnp.asarray(pts, jnp.float32)
         best_v, w = self._corr_fn(vtx_f, pts_f, posed1, pts_j, vis_v)
-        vert_local1 = verts_to_local(G1, q1, posed1)
         locals2, G2, q2 = self.solver2(
-            locals1, self.offsets, vert_local1, self.skins,
+            locals1, self.offsets, G1, q1, posed1, self.skins,
             best_v, pts_j, w,
         )
-        posed2 = lbs_from_local(G2, q2, vert_local1, self.skins)
+        posed2 = lbs_blend(G2, q2, G1, q1, posed1, self.skins)
         quats = np.asarray(matrix_to_quaternion(locals2))
         return TrackState(
             verts=np.asarray(posed2), quats=quats,
@@ -183,17 +182,18 @@ def make_scanned_tracker(tracker: Tracker):
         pred_flow, vtx_f, pts_f, vis_v = flow_fn(verts, pts)
         vert_shift = verts + pred_flow
         locals1, G1, q1 = tracker.solver1(
-            tracker.eye, tracker.offsets, tracker.vert_local0, tracker.skins,
+            tracker.eye, tracker.offsets, tracker.G0, tracker.q0,
+            tracker.rest_v, tracker.skins,
             jnp.arange(nv), vert_shift, vis_v,
         )
-        posed1 = lbs_from_local(G1, q1, tracker.vert_local0, tracker.skins)
+        posed1 = lbs_blend(G1, q1, tracker.G0, tracker.q0, tracker.rest_v,
+                           tracker.skins)
         best_v, w = tracker._corr_filter(vtx_f, pts_f, posed1, pts, vis_v)
-        vert_local1 = verts_to_local(G1, q1, posed1)
         locals2, G2, q2 = tracker.solver2(
-            locals1, tracker.offsets, vert_local1, tracker.skins,
+            locals1, tracker.offsets, G1, q1, posed1, tracker.skins,
             best_v, pts, w,
         )
-        posed2 = lbs_from_local(G2, q2, vert_local1, tracker.skins)
+        posed2 = lbs_blend(G2, q2, G1, q1, posed1, tracker.skins)
         quats = matrix_to_quaternion(locals2)
         return posed2, (posed2, vis_v, quats)
 
@@ -270,8 +270,8 @@ class BatchedTracker:
         self.eye = jnp.asarray(np.repeat(eye[None], Bn, 0))     # (B,Jm,3,3)
 
         fk_b = jax.vmap(lambda p, l, r, o: fk_masked(p, l, r, o, depth))
-        G0, q0 = fk_b(self.parents, self.levels, self.eye, self.offsets)
-        self.vert_local0 = jax.vmap(verts_to_local)(G0, q0, self.mesh_b.verts)
+        self.G0, self.q0 = fk_b(self.parents, self.levels, self.eye,
+                                self.offsets)
 
         self.solver1 = make_ik_solver_masked(depth, IKConfig(
             iters=cfg.ik_iters_stage1, lr=cfg.ik_lr_stage1,
@@ -321,17 +321,17 @@ class BatchedTracker:
             vert_shift = verts_b + pred_flow
             locals1, G1, q1 = jax.vmap(self.solver1)(
                 self.eye, self.offsets, self.parents, self.levels,
-                self.vert_local0, self.skins, arange_v, vert_shift, vis,
-                vmask_f)
-            posed1 = jax.vmap(lbs_from_local)(G1, q1, self.vert_local0, self.skins)
+                self.G0, self.q0, self.mesh_b.verts, self.skins,
+                arange_v, vert_shift, vis, vmask_f)
+            posed1 = jax.vmap(lbs_blend)(G1, q1, self.G0, self.q0,
+                                         self.mesh_b.verts, self.skins)
             best_v, w = jax.vmap(self._corr_filter)(
                 vtx_f, pts_f, posed1, pts_b, vis, self.vert_mask)
-            vert_local1 = jax.vmap(verts_to_local)(G1, q1, posed1)
             ones_p = jnp.ones(w.shape, jnp.float32)
             locals2, G2, q2 = jax.vmap(self.solver2)(
                 locals1, self.offsets, self.parents, self.levels,
-                vert_local1, self.skins, best_v, pts_b, w, ones_p)
-            posed2 = jax.vmap(lbs_from_local)(G2, q2, vert_local1, self.skins)
+                G1, q1, posed1, self.skins, best_v, pts_b, w, ones_p)
+            posed2 = jax.vmap(lbs_blend)(G2, q2, G1, q1, posed1, self.skins)
             quats = matrix_to_quaternion(locals2)
             return posed2, (posed2, vis, quats)
 

@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from morig_tpu.data.synthetic import fk_numpy, lbs_numpy, make_capsule_rig, rotz
-from morig_tpu.geometry.fk import FKTopology, fk, lbs_from_local, lbs_rest, verts_to_local
+from morig_tpu.geometry.fk import (FKTopology, fk, lbs_blend, lbs_from_local,
+                                   lbs_rest, verts_to_local)
 from morig_tpu.geometry.ik import IKConfig, make_ik_solver
 from morig_tpu.geometry.rotations import (
     euler_to_matrix, matrix_to_6d, matrix_to_euler, matrix_to_quaternion,
@@ -72,6 +73,26 @@ def test_local_roundtrip():
     np.testing.assert_allclose(np.asarray(back), cap.verts, atol=1e-5)
 
 
+def test_lbs_blend_matches_from_local():
+    """Matrix-palette LBS must equal the (J,V,3) joint-local formulation for
+    an arbitrary pose, binding in an arbitrary (non-identity) reference."""
+    cap = make_capsule_rig(9, 8)
+    topo = FKTopology(cap.parents)
+    offsets = cap.joints.copy()
+    offsets[1:] = cap.joints[1:] - cap.joints[cap.parents[1:]]
+    ref_locals = np.stack([rotz(0.2), rotz(-0.4), rotz(0.1)])
+    refG, refq = fk(topo, jnp.asarray(ref_locals), jnp.asarray(offsets))
+    ref_verts = lbs_numpy(cap.verts, cap.joints, cap.parents, cap.skins,
+                          ref_locals).astype(np.float32)
+    new_locals = np.stack([rotz(-0.3), rotz(0.5), rotz(0.25)])
+    G, q = fk(topo, jnp.asarray(new_locals), jnp.asarray(offsets))
+    skins = jnp.asarray(cap.skins)
+    vl = verts_to_local(refG, refq, jnp.asarray(ref_verts))
+    want = np.asarray(lbs_from_local(G, q, vl, skins))
+    got = np.asarray(lbs_blend(G, q, refG, refq, jnp.asarray(ref_verts), skins))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_ik_recovers_bend():
     """IK must recover vertex positions of a known bend of the capsule."""
     cap = make_capsule_rig(9, 8)
@@ -83,14 +104,15 @@ def test_ik_recovers_bend():
     targets = lbs_numpy(cap.verts, cap.joints, cap.parents, cap.skins, target_locals)
 
     G0, q0 = fk(topo, jnp.asarray(eye), jnp.asarray(offsets))
-    vert_local = verts_to_local(G0, q0, jnp.asarray(cap.verts))
+    rest_v = jnp.asarray(cap.verts)
     solver = make_ik_solver(topo, IKConfig(iters=300, lr=5e-2))
     V = len(cap.verts)
     locals_out, G, q = solver(
-        jnp.asarray(eye), jnp.asarray(offsets), vert_local, jnp.asarray(cap.skins),
+        jnp.asarray(eye), jnp.asarray(offsets), G0, q0, rest_v,
+        jnp.asarray(cap.skins),
         jnp.arange(V), jnp.asarray(targets.astype(np.float32)), jnp.ones(V),
     )
-    posed = np.asarray(lbs_from_local(G, q, vert_local, jnp.asarray(cap.skins)))
+    posed = np.asarray(lbs_blend(G, q, G0, q0, rest_v, jnp.asarray(cap.skins)))
     err = np.linalg.norm(posed - targets, axis=1).mean()
     init_err = np.linalg.norm(cap.verts - targets, axis=1).mean()
     assert err < 0.1 * init_err, (err, init_err)
@@ -104,7 +126,7 @@ def test_ik_ignores_invisible():
     offsets = cap.joints.copy()
     offsets[1:] = cap.joints[1:] - cap.joints[cap.parents[1:]]
     G0, q0 = fk(topo, jnp.asarray(eye), jnp.asarray(offsets))
-    vert_local = verts_to_local(G0, q0, jnp.asarray(cap.verts))
+    rest_v = jnp.asarray(cap.verts)
     solver = make_ik_solver(topo, IKConfig(iters=50, lr=5e-2, w_invis=0.0))
     V = len(cap.verts)
     targets = cap.verts.copy()
@@ -112,10 +134,10 @@ def test_ik_ignores_invisible():
     garbage[: V // 2] = 99.0  # invisible garbage targets
     vis = np.ones(V)
     vis[: V // 2] = 0.0
-    _, G1, q1 = solver(jnp.asarray(eye), jnp.asarray(offsets), vert_local,
+    _, G1, q1 = solver(jnp.asarray(eye), jnp.asarray(offsets), G0, q0, rest_v,
                        jnp.asarray(cap.skins), jnp.arange(V),
                        jnp.asarray(garbage.astype(np.float32)), jnp.asarray(vis))
-    _, G2, q2 = solver(jnp.asarray(eye), jnp.asarray(offsets), vert_local,
+    _, G2, q2 = solver(jnp.asarray(eye), jnp.asarray(offsets), G0, q0, rest_v,
                        jnp.asarray(cap.skins), jnp.arange(V),
                        jnp.asarray(targets.astype(np.float32)), jnp.asarray(vis))
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
