@@ -16,7 +16,10 @@ kernel keeps everything in VMEM:
     out tile = acc                                  # only (TV,H2) hits HBM
 
 Only the "layer" normalization mode is supported (LayerNorm eps matches flax,
-1e-6); inference path only — training uses the XLA path (same parameters).
+1e-6).  Training runs the same forward through `fused_edge_mlp_trainable`,
+whose backward is either the one-pass fused backward kernel (`_bwd_kernel`:
+in-kernel recompute + every gradient without leaving VMEM) or a
+rematerialized XLA VJP (exact fp32 cotangents) — see nn/gcu.py set_edge_bwd.
 """
 from __future__ import annotations
 
@@ -138,6 +141,28 @@ def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int 
     return out
 
 
+def reference_edge_mlp_bf16(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
+    """XLA oracle matching the fused kernels' PRECISION exactly: bf16 input
+    rounding and a bf16 second matmul with fp32 accumulation.  Gradients of
+    this function route the masked-max backward identically to the fused
+    backward kernel (same forward values -> same argmax), which makes
+    elementwise gradient parity assertions deterministic."""
+    f32 = jnp.float32
+    a = a.astype(jnp.bfloat16).astype(f32)
+    b_table = b_table.astype(jnp.bfloat16).astype(f32)
+    gathered = jax.vmap(lambda xb, nb: xb[nb])(b_table, nbr)
+    h = jnp.maximum(a[:, :, None, :] + gathered, 0.0)
+    h = _ln(h, g1, be1)
+    h2 = jnp.dot(h.astype(jnp.bfloat16),
+                 w2.astype(jnp.bfloat16),
+                 preferred_element_type=f32) + b2
+    h2 = jnp.maximum(h2, 0.0)
+    h2 = _ln(h2, g2, be2)
+    neg = jnp.where(mask[..., None], h2, -1e30)
+    out = jnp.max(neg, axis=2)
+    return jnp.where(jnp.any(mask, axis=2)[..., None], out, 0.0)
+
+
 def reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
     """Pure-XLA oracle with identical semantics (for parity tests)."""
     gathered = jax.vmap(lambda xb, nb: xb[nb])(b_table, nbr)     # (B,V,D,H1)
@@ -256,6 +281,217 @@ def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
 
 
 # ---------------------------------------------------------------------------
+# fused backward kernel
+# ---------------------------------------------------------------------------
+#
+# Recomputes the forward INSIDE the kernel (the residuals are just the
+# inputs, exactly like remat) and produces every gradient in one pass with
+# no (B, V, D, H) HBM intermediates:
+#   - the max backward routes dout to the argmax edges by exact equality
+#     against the in-kernel recomputed per-edge outputs, splitting ties
+#     equally (reduce_max VJP semantics);
+#   - the gather backward (scatter-add into the neighbor table) is the
+#     TRANSPOSE one-hot matmul (V, D*TV) x (D*TV, H1), accumulated across
+#     vertex tiles in a VMEM-resident (V, H1) fp32 block;
+#   - dW2/db2/LN-vector grads accumulate across the whole grid in resident
+#     blocks (TPU grids run sequentially, so revisited blocks are safe).
+# This is what makes fused-forward TRAINING profitable: the remat-XLA
+# backward re-pays the XLA gather program; this kernel never leaves VMEM.
+
+def _ln_fwd(h, scale, bias):
+    """LayerNorm returning (out, xn, inv_sigma) for in-kernel backward."""
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean((h - mu) * (h - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xn = (h - mu) * inv
+    return xn * scale + bias, xn, inv
+
+
+def _ln_bwd(dy, scale, xn, inv):
+    """Grad wrt the LN input given grad wrt its output (per-row statistics)."""
+    dxn = dy * scale
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    return (dxn - m1 - xn * m2) * inv
+
+
+def _bwd_kernel(a_ref, btab_ref, nbr_ref, mask_ref, w2_ref, w2t_ref, b2_ref,
+                g1_ref, be1_ref, g2_ref, be2_ref, dout_ref,
+                da_ref, db_ref, dw2_ref, db2_ref, dg1_ref, dbe1_ref,
+                dg2_ref, dbe2_ref, *, degree):
+    a = a_ref[0].astype(jnp.float32)                       # (TV,H1)
+    btab = btab_ref[0]                                     # (V,H1) bf16
+    TV = a.shape[0]
+    V = btab.shape[0]
+    g1, be1 = g1_ref[0].astype(jnp.float32), be1_ref[0].astype(jnp.float32)
+    g2, be2 = g2_ref[0].astype(jnp.float32), be2_ref[0].astype(jnp.float32)
+    w2 = w2_ref[:]
+    w2t = w2t_ref[:]
+    b2 = b2_ref[0].astype(jnp.float32)
+    mask_dv = mask_ref[0]                                  # (D,TV) int32
+
+    mxu = w2.dtype                                         # bf16 (or f32 in
+    # the `precise` formula-validation mode of fused_edge_mlp_bwd)
+
+    # ---- forward recompute (identical math to _kernel/_edge_tail) --------
+    col = jax.lax.broadcasted_iota(jnp.int32, (TV, V), 1)
+    onehot = jnp.concatenate([
+        (col == nbr_ref[0, d, :].reshape(TV, 1)) for d in range(degree)
+    ], axis=0).astype(mxu)                                 # (D*TV, V)
+    gathered = jnp.dot(onehot, btab, preferred_element_type=jnp.float32)
+    a_rep = jnp.concatenate([a] * degree, axis=0)          # (D*TV, H1)
+    x = a_rep + gathered
+    r = jnp.maximum(x, 0.0)
+    h, xn1, inv1 = _ln_fwd(r, g1, be1)
+    s = jnp.dot(h.astype(mxu), w2,
+                preferred_element_type=jnp.float32) + b2
+    t = jnp.maximum(s, 0.0)
+    y, xn2, inv2 = _ln_fwd(t, g2, be2)                     # (D*TV, H2)
+
+    H2 = y.shape[-1]
+    acc = jnp.full((TV, H2), -1e30, jnp.float32)
+    n_valid = jnp.zeros((TV, 1), jnp.int32)
+    for d in range(degree):
+        m = mask_dv[d, :].reshape(TV, 1)
+        acc = jnp.where(m > 0, jnp.maximum(acc, y[d * TV:(d + 1) * TV]), acc)
+        n_valid = n_valid + m
+
+    # ---- max backward: equal split among exactly-equal valid edges -------
+    dout = jnp.where(n_valid > 0, dout_ref[0].astype(jnp.float32), 0.0)
+    eq_parts = []
+    cnt = jnp.zeros((TV, H2), jnp.float32)
+    for d in range(degree):
+        m = (mask_dv[d, :].reshape(TV, 1) > 0)
+        e = jnp.where(m, (y[d * TV:(d + 1) * TV] == acc).astype(jnp.float32),
+                      0.0)
+        eq_parts.append(e)
+        cnt = cnt + e
+    dshare = dout / jnp.maximum(cnt, 1.0)
+    dy = jnp.concatenate([e * dshare for e in eq_parts], axis=0)  # (D*TV,H2)
+
+    # ---- LN2 / relu / dense backward --------------------------------------
+    dt = _ln_bwd(dy, g2, xn2, inv2)
+    ds = jnp.where(s > 0, dt, 0.0)
+    dh = jnp.dot(ds.astype(mxu), w2t,
+                 preferred_element_type=jnp.float32)       # (D*TV, H1)
+    dw2_c = jax.lax.dot_general(
+        h.astype(mxu), ds.astype(mxu),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # ---- LN1 / relu backward ----------------------------------------------
+    dr = _ln_bwd(dh, g1, xn1, inv1)
+    dx = jnp.where(x > 0, dr, 0.0)                         # (D*TV, H1)
+
+    # ---- input grads -------------------------------------------------------
+    da = jnp.zeros_like(a)
+    for d in range(degree):
+        da = da + dx[d * TV:(d + 1) * TV]
+    da_ref[0] = da
+    db_c = jax.lax.dot_general(onehot, dx.astype(mxu),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (V,H1)
+
+    # ---- accumulated outputs (blocks resident across grid steps) ---------
+    i = pl.program_id(1)
+    first_tile = i == 0
+    first_all = jnp.logical_and(pl.program_id(0) == 0, first_tile)
+    sums = (
+        (dw2_ref, dw2_c),
+        (db2_ref, jnp.sum(ds, axis=0, keepdims=True)),
+        (dg1_ref, jnp.sum(dh * xn1, axis=0, keepdims=True)),
+        (dbe1_ref, jnp.sum(dh, axis=0, keepdims=True)),
+        (dg2_ref, jnp.sum(dy * xn2, axis=0, keepdims=True)),
+        (dbe2_ref, jnp.sum(dy, axis=0, keepdims=True)),
+    )
+
+    @pl.when(first_tile)
+    def _init_db():
+        db_ref[0] = db_c
+
+    @pl.when(jnp.logical_not(first_tile))
+    def _acc_db():
+        db_ref[0] = db_ref[0] + db_c
+
+    @pl.when(first_all)
+    def _init_sums():
+        for ref, val in sums:
+            ref[:] = val
+
+    @pl.when(jnp.logical_not(first_all))
+    def _acc_sums():
+        for ref, val in sums:
+            ref[:] = ref[:] + val
+
+
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret", "precise"))
+def fused_edge_mlp_bwd(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, dout,
+                       tile_v: int = 128, interpret: bool = False,
+                       precise: bool = False):
+    """One-pass fused backward of `fused_edge_mlp` (full-table variant).
+
+    Returns (da, db_table, dw2, db2, dg1, dbe1, dg2, dbe2), matching the
+    cotangents of `reference_edge_mlp` up to bf16 matmul rounding (the
+    rounding happens at different points than XLA's cast-VJP, so individual
+    entries differ by ~bf16-eps times the local LayerNorm amplification).
+    `precise=True` runs every matmul in fp32 — the formula-validation mode
+    used by tests, where parity with the fp32 XLA VJP is ~1e-5.  Full
+    128-multiple channel widths only (the trainable dispatch guarantees it).
+    """
+    B, V, H1 = a.shape
+    D = nbr.shape[-1]
+    H2 = w2.shape[-1]
+    TV = min(tile_v, V)
+    assert V % TV == 0, (V, TV)
+    mxu = jnp.float32 if precise else jnp.bfloat16
+    nbr_t = jnp.transpose(nbr, (0, 2, 1)).astype(jnp.int32)
+    mask_t = jnp.transpose(mask.astype(jnp.int32), (0, 2, 1))
+    vec = lambda z: z.reshape(1, -1)
+
+    grid = (B, V // TV)
+    const = lambda *blk: pl.BlockSpec(blk, lambda b, i: (0,) * len(blk),
+                                      memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, degree=D),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TV, H1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, H1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, TV), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, TV), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            const(H1, H2),
+            const(H2, H1),
+            const(1, H2), const(1, H1), const(1, H1), const(1, H2), const(1, H2),
+            pl.BlockSpec((1, TV, H2), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TV, H1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, H1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            const(H1, H2),
+            const(1, H2), const(1, H1), const(1, H1), const(1, H2), const(1, H2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, V, H1), jnp.float32),
+            jax.ShapeDtypeStruct((B, V, H1), jnp.float32),
+            jax.ShapeDtypeStruct((H1, H2), jnp.float32),
+            jax.ShapeDtypeStruct((1, H2), jnp.float32),
+            jax.ShapeDtypeStruct((1, H1), jnp.float32),
+            jax.ShapeDtypeStruct((1, H1), jnp.float32),
+            jax.ShapeDtypeStruct((1, H2), jnp.float32),
+            jax.ShapeDtypeStruct((1, H2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        a.astype(mxu), b_table.astype(mxu), nbr_t, mask_t,
+        w2.astype(mxu), w2.T.astype(mxu), vec(b2),
+        vec(g1), vec(be1), vec(g2), vec(be2), dout,
+    )
+    da, db, dw2, db2, dg1, dbe1, dg2, dbe2 = outs
+    # db_table was accumulated per batch sample; it is already (B, V, H1).
+    return (da, db, dw2, db2.reshape(-1), dg1.reshape(-1), dbe1.reshape(-1),
+            dg2.reshape(-1), dbe2.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
 # trainable wrapper: fused forward + rematerialized XLA backward
 # ---------------------------------------------------------------------------
 #
@@ -268,23 +504,35 @@ def fused_edge_mlp_windowed(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
 # the bf16 fused forward differs from the fp32 primal by normal mixed-precision
 # noise (same trade as remat-with-different-precision).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def fused_edge_mlp_trainable(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
-                             windowed: bool = False, interpret: bool = False):
+                             windowed: bool = False, interpret: bool = False,
+                             pallas_bwd: bool = False, bwd_tile_v: int = 128):
     fn = fused_edge_mlp_windowed if windowed else fused_edge_mlp
     return fn(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
               interpret=interpret)
 
 
 def _trainable_fwd(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
-                   windowed, interpret):
+                   windowed, interpret, pallas_bwd, bwd_tile_v):
     out = fused_edge_mlp_trainable(a, b_table, nbr, mask, w2, b2, g1, be1,
-                                   g2, be2, windowed, interpret)
+                                   g2, be2, windowed, interpret, pallas_bwd,
+                                   bwd_tile_v)
     return out, (a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2)
 
 
-def _trainable_bwd(windowed, interpret, res, g):
+def _trainable_bwd(windowed, interpret, pallas_bwd, bwd_tile_v, res, g):
     a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2 = res
+
+    if pallas_bwd:
+        # one-pass fused backward: no XLA gather/scatter, no (B,V,D,H)
+        # HBM intermediates.  The gather topology is tile-agnostic, so the
+        # backward runs at its own (usually smaller) VMEM-gated tile even
+        # when the forward was windowed.
+        da, db, dw2, db2, dg1, dbe1, dg2, dbe2 = fused_edge_mlp_bwd(
+            a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, g,
+            tile_v=bwd_tile_v, interpret=interpret)
+        return da, db, None, None, dw2, db2, dg1, dbe1, dg2, dbe2
 
     def primal(a, b_table, w2, b2, g1, be1, g2, be2):
         return reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2)

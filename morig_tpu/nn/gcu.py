@@ -74,6 +74,27 @@ def get_edge_impl() -> str:
     return _EDGE_IMPL
 
 
+_EDGE_BWD = "pallas"
+
+
+def set_edge_bwd(name: str) -> None:
+    """Backward implementation for fused-forward TRAINING
+    (set_edge_impl("fused"|"windowed")):
+      "pallas"    — one-pass fused backward kernel (edge_fused._bwd_kernel):
+                    recompute + all gradients in VMEM, no XLA gather/scatter.
+                    Falls back to remat-XLA per layer when the backward
+                    stack exceeds the scoped-VMEM budget.
+      "remat_xla" — rematerialized XLA backward (exact fp32 XLA cotangents).
+    """
+    global _EDGE_BWD
+    assert name in ("pallas", "remat_xla")
+    _EDGE_BWD = name
+
+
+def get_edge_bwd() -> str:
+    return _EDGE_BWD
+
+
 def _fusable(channels, V, H1, H2, tile_v=None, allow_small=False):
     tile_v = tile_v or _EDGE_TILE
     if get_default_norm() != "layer" or len(channels) != 2:
@@ -120,6 +141,25 @@ def _vmem_tile(V, D, H1, H2, tile_v, windowed=False):
             return tv
         if windowed:
             return None
+    return None
+
+
+def _vmem_tile_bwd(V, D, H1, H2, tile_v=128):
+    """Largest vertex tile <= tile_v whose fused BACKWARD stack fits scoped
+    VMEM, or None (caller falls back to remat-XLA for that layer).
+
+    The backward holds the (D*TV, V) one-hot plus ~5 live (D*TV, P1) and
+    ~5 (D*TV, P2) fp32 rails (x/xn1/h/dh/dx and s-derived xn2/dy/dt/ds),
+    and keeps BOTH the bf16 table block and the fp32 (V, P1) scatter
+    accumulator resident."""
+    P1 = max(128, -(-H1 // 128) * 128)
+    P2 = max(128, -(-H2 // 128) * 128)
+    for tv in (tile_v, 64, 32):
+        if tv > tile_v or V % tv or tv % 8:
+            continue
+        need = D * tv * (2 * V + 10 * P1 + 10 * P2) + 6 * V * P1 + 4 * P1 * P2
+        if need <= _VMEM_BUDGET:
+            return tv
     return None
 
 
@@ -219,7 +259,10 @@ class EdgeMLP(nn.Module):
                     and _fusable(self.channels, V, h1, h2)):
                 from morig_tpu.kernels import edge_fused as ef
 
-                return ef.fused_edge_mlp_trainable(*args, windowed, False)
+                bw_tv = (_vmem_tile_bwd(V, D, h1, h2)
+                         if get_edge_bwd() == "pallas" else None)
+                return ef.fused_edge_mlp_trainable(
+                    *args, windowed, False, bw_tv is not None, bw_tv or 128)
 
             from morig_tpu.kernels.edge_fused import _ln
 

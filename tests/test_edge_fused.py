@@ -196,3 +196,122 @@ def test_vmem_tile_gate():
     assert _vmem_tile(8192, 16, 512, 512, 512, windowed=True) is None
     # giant full-table: no tile fits -> XLA fallback
     assert _vmem_tile(16384, 16, 512, 512, 256) is None
+
+
+# ---- fused backward kernel ----
+
+def _bwd_args(seed=31, B=2, V=256, D=5, H1=128, H2=128, tie_cols=True):
+    rng = np.random.default_rng(seed)
+    args = make_inputs(rng, B=B, V=V, D=D, H1=H1, H2=H2)
+    a, b, nbr, mask, *tail = args
+    if tie_cols:
+        # duplicate neighbor columns -> EXACT ties in the masked max, so the
+        # equal-split routing of the backward is exercised, not just argmax
+        nbr = nbr.at[:, :, 1].set(nbr[:, :, 0])
+        mask = mask.at[:, :, 1].set(mask[:, :, 0])
+    dout = jnp.asarray(rng.normal(size=(B, V, H2)).astype(np.float32))
+    return (a, b, nbr, mask, *tail), dout
+
+
+def run_bwd_kernel_parity(interpret: bool, tile_v: int = 128, precise=True,
+                          max_tol=1e-4, mean_tol=1e-6):
+    """All eight gradients vs the fp32 XLA VJP of the reference oracle.
+
+    `precise=True` (fp32 in-kernel matmuls) validates the backward FORMULA
+    — max-routing with equal tie splits, both LayerNorm backwards, the
+    transpose-one-hot scatter, all cross-tile accumulations — to ~1e-5.
+    `precise=False` runs the production bf16 path; its divergence from the
+    fp32 VJP is mixed-precision noise (bf16 eps amplified by per-row
+    LayerNorm statistics), so only statistical bounds apply."""
+    args, dout = _bwd_args()
+    a, b, nbr, mask, w2, b2, g1, be1, g2, be2 = args
+    oracle = ef.reference_edge_mlp if precise else ef.reference_edge_mlp_bf16
+
+    def primal(a, b, w2, b2, g1, be1, g2, be2):
+        return oracle(a, b, nbr, mask, w2, b2, g1, be1, g2, be2)
+
+    _, vjp = jax.vjp(primal, a, b, w2, b2, g1, be1, g2, be2)
+    want = vjp(dout)
+    got = ef.fused_edge_mlp_bwd(a, b, nbr, mask, w2, b2, g1, be1, g2, be2,
+                                dout, tile_v=tile_v, interpret=interpret,
+                                precise=precise)
+    names = ("da", "db_table", "dw2", "db2", "dg1", "dbe1", "dg2", "dbe2")
+    for n, gf, gr in zip(names, got, want):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        assert gf.shape == gr.shape, n
+        scale = max(float(np.abs(gr).max()), 1.0)
+        err = np.abs(gf - gr)
+        # a handful of entries may take O(dout)-sized hits from max-routing
+        # flips at near-ties (bf16 mode only); a formula bug shifts ALL
+        # entries, which the mean and fraction bounds catch
+        frac_off = float((err > max_tol * scale).mean())
+        assert frac_off < 1e-3, (n, frac_off, err.max(), scale)
+        assert err.mean() / scale < mean_tol, (n, err.mean(), scale)
+
+
+def test_bwd_kernel_parity_interpret():
+    run_bwd_kernel_parity(interpret=True)
+
+
+def test_bwd_kernel_parity_tv64_interpret():
+    """Tile revisiting: V/TV=4 tiles accumulate db/dw2 across grid steps."""
+    run_bwd_kernel_parity(interpret=True, tile_v=64)
+
+
+def test_bwd_kernel_bf16_noise_interpret():
+    """The production bf16 backward: bounded mixed-precision noise vs the
+    VJP of the bf16-matched oracle — same input rounding and max routing,
+    so the residual is only WHERE each side rounds to bf16 in the backward
+    (a formula bug produces errors orders of magnitude larger)."""
+    run_bwd_kernel_parity(interpret=True, precise=False,
+                          max_tol=0.15, mean_tol=1e-3)
+
+
+def test_trainable_pallas_bwd_interpret():
+    """End-to-end grad through the trainable wrapper with pallas_bwd=True
+    (forward = fused kernel, backward = fused backward kernel) vs grads of
+    the bf16-matched oracle.  Routing is identical (same forward values);
+    entries differ only by where each side rounds to bf16 in the backward
+    (the kernel rounds ds before its matmuls, XLA's cast-VJP rounds the
+    cotangents after), so statistical bounds apply."""
+    args, _ = _bwd_args(seed=32, B=1, V=256, D=4)
+    a, b, nbr, mask, *tail = args
+
+    def loss_fused(a, b, w2, b2, g1, be1, g2, be2):
+        return jnp.sum(ef.fused_edge_mlp_trainable(
+            a, b, nbr, mask, w2, b2, g1, be1, g2, be2,
+            False, True, True, 128))
+
+    def loss_ref(a, b, w2, b2, g1, be1, g2, be2):
+        return jnp.sum(ef.reference_edge_mlp_bf16(
+            a, b, nbr, mask, w2, b2, g1, be1, g2, be2))
+
+    diff = (a, b) + tuple(tail)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(8)))(*diff)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*diff)
+    for gf, gr in zip(g_fused, g_ref):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        scale = max(float(np.abs(gr).max()), 1.0)
+        err = np.abs(gf - gr)
+        assert float((err > 0.15 * scale).mean()) < 1e-3
+        assert err.mean() / scale < 1e-3
+
+
+def test_bwd_zero_rows():
+    """Vertices with no valid neighbors must produce zero input gradients."""
+    args, dout = _bwd_args(seed=33, B=1, V=256, D=4, tie_cols=False)
+    a, b, nbr, mask, *tail = args
+    mask = mask.at[0, 5, :].set(False)
+    got = ef.fused_edge_mlp_bwd(a, b, nbr, mask, *tail, dout,
+                                tile_v=128, interpret=True)
+    da = np.asarray(got[0])
+    assert (da[0, 5] == 0).all()
+
+
+def test_vmem_tile_bwd_gate():
+    from morig_tpu.nn.gcu import _vmem_tile_bwd
+
+    # bench-train shape: must pick a tile (any), not fall back
+    assert _vmem_tile_bwd(2048, 12, 128, 256) is not None
+    # huge table: no tile fits -> remat-XLA fallback
+    assert _vmem_tile_bwd(16384, 16, 512, 512) is None
