@@ -34,11 +34,15 @@ def save_checkpoint(state, checkpoint_dir: str, is_best: bool = False,
                     extra: Optional[dict] = None, filename: str = "checkpoint.msgpack"):
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, filename)
-    with open(path, "wb") as f:
+    # atomic write (tmp + rename): a crash mid-write must never leave a torn
+    # checkpoint behind — crash-resume depends on the last checkpoint loading
+    with open(path + ".tmp", "wb") as f:
         f.write(serialization.to_bytes(_state_dict(state)))
+    os.replace(path + ".tmp", path)
     if extra is not None:
-        with open(path + ".json", "w") as f:
+        with open(path + ".json.tmp", "w") as f:
             json.dump({k: float(v) for k, v in extra.items()}, f)
+        os.replace(path + ".json.tmp", path + ".json")
     if is_best:
         shutil.copyfile(path, os.path.join(checkpoint_dir, "model_best.msgpack"))
         if extra is not None:

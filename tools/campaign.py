@@ -73,11 +73,18 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
     # epoch-level crash resume: the TPU tunnel worker can die mid-stage;
     # checkpoint.msgpack is written every epoch with {epoch, lowest_loss}.
     start_epoch, init_lowest = 0, float("inf")
-    last_path = os.path.join(d, "checkpoint.msgpack")
-    if os.path.exists(last_path):
-        state, meta = ckpt.load_checkpoint(state, last_path)
+    for p in (os.path.join(d, "checkpoint.msgpack"),
+              os.path.join(d, "model_best.msgpack")):
+        if not os.path.exists(p):
+            continue
+        try:
+            state, meta = ckpt.load_checkpoint(state, p)
+        except Exception as e:          # torn write from a mid-epoch crash
+            print(f"[campaign] {name}: {p} unreadable ({e}); falling back")
+            continue
         start_epoch = int(meta.get("epoch", 0))
         init_lowest = float(meta.get("lowest_loss", float("inf")))
+        break
         print(f"[campaign] {name}: resuming at epoch {start_epoch} "
               f"(lowest val {init_lowest:.4f})")
     t0 = time.time()
