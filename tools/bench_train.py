@@ -118,6 +118,14 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--edge-impl", default="xla",
+                    choices=("xla", "fused", "windowed"),
+                    help="edge-message forward for TRAINING (nn/gcu.py "
+                         "set_edge_impl); 'fused' runs the Pallas forward")
+    ap.add_argument("--edge-bwd", default="pallas",
+                    choices=("pallas", "remat_xla"),
+                    help="backward used with --edge-impl fused/windowed: "
+                         "one-pass Pallas backward kernel vs remat-XLA VJP")
     args = ap.parse_args()
 
     if args.dp_scaling:
@@ -149,9 +157,16 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         shapes = dict(n_lat=37, n_lon=36, num_points=1024)   # V=1262 -> 1536
         iters = args.iters
+    from morig_tpu.nn.gcu import set_edge_bwd, set_edge_impl
+
+    set_edge_impl(args.edge_impl)
+    set_edge_bwd(args.edge_bwd)
     for stage_name in ("corr", "deform"):
         row = bench_stage(stage_name, args.batch, iters=iters,
                           peak_tflops=args.peak_tflops, **shapes)
+        row["edge_impl"] = args.edge_impl
+        if args.edge_impl != "xla":
+            row["edge_bwd"] = args.edge_bwd
         print(json.dumps(row))
 
 
