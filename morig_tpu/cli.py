@@ -367,8 +367,21 @@ def cmd_track(args):
     tracker = Tracker(stage, state, rig, entry)
     traj, vis, quats = tracker.run(cap.verts, seq["pts_traj"])
     errs = flow_errors(traj, seq["vtx_traj"][:, 1:, :], seq["vismask"][:, 1:])
+    extra = {}
+    if args.smooth_passes > 0:
+        # visualize_tracking.py:43-61 workflow: temporally smooth the
+        # per-joint quaternions and re-pose, then dump overlay PLYs
+        from morig_tpu.eval.visualize import (export_tracking,
+                                              smooth_tracking_quats)
+
+        straj, squats = smooth_tracking_quats(rig, cap.verts, quats,
+                                              num_pass=args.smooth_passes)
+        extra = dict(pred_vtx_traj_smooth=straj, pred_quats_smooth=squats)
+        export_tracking(args.out, "capsule_smooth", straj,
+                        seq["pts_traj"][:, 1:, :])
     np.savez(os.path.join(args.out, "capsule_tracking.npz"),
-             pred_vtx_traj=traj, pred_vismask=vis, pred_quats=quats, **errs)
+             pred_vtx_traj=traj, pred_vismask=vis, pred_quats=quats,
+             **extra, **errs)
     print(errs)
 
 
@@ -429,6 +442,10 @@ def main(argv=None):
     _add_common(tr)
     tr.add_argument("--out", default="results")
     tr.add_argument("--frames", type=int, default=6)
+    tr.add_argument("--smooth-passes", type=int, default=2,
+                    help="temporal quaternion-smoothing passes for the "
+                         "visualization outputs (visualize_tracking.py:44; "
+                         "0 disables)")
     tr.set_defaults(fn=cmd_track)
 
     args = ap.parse_args(argv)
