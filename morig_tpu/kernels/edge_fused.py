@@ -141,21 +141,19 @@ def fused_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2, tile_v: int 
     return out
 
 
-def reference_edge_mlp_bf16(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
-    """XLA oracle matching the fused kernels' PRECISION exactly: bf16 input
-    rounding and a bf16 second matmul with fp32 accumulation.  Gradients of
-    this function route the masked-max backward identically to the fused
-    backward kernel (same forward values -> same argmax), which makes
-    elementwise gradient parity assertions deterministic."""
-    f32 = jnp.float32
-    a = a.astype(jnp.bfloat16).astype(f32)
-    b_table = b_table.astype(jnp.bfloat16).astype(f32)
-    gathered = jax.vmap(lambda xb, nb: xb[nb])(b_table, nbr)
+def _reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2,
+                        bf16: bool):
+    if bf16:
+        a = a.astype(jnp.bfloat16).astype(jnp.float32)
+        b_table = b_table.astype(jnp.bfloat16).astype(jnp.float32)
+    gathered = jax.vmap(lambda xb, nb: xb[nb])(b_table, nbr)     # (B,V,D,H1)
     h = jnp.maximum(a[:, :, None, :] + gathered, 0.0)
     h = _ln(h, g1, be1)
-    h2 = jnp.dot(h.astype(jnp.bfloat16),
-                 w2.astype(jnp.bfloat16),
-                 preferred_element_type=f32) + b2
+    if bf16:
+        h2 = jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + b2
+    else:
+        h2 = h @ w2 + b2
     h2 = jnp.maximum(h2, 0.0)
     h2 = _ln(h2, g2, be2)
     neg = jnp.where(mask[..., None], h2, -1e30)
@@ -164,15 +162,19 @@ def reference_edge_mlp_bf16(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
 
 
 def reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
-    """Pure-XLA oracle with identical semantics (for parity tests)."""
-    gathered = jax.vmap(lambda xb, nb: xb[nb])(b_table, nbr)     # (B,V,D,H1)
-    h = jnp.maximum(a[:, :, None, :] + gathered, 0.0)
-    h = _ln(h, g1, be1)
-    h2 = jnp.maximum(h @ w2 + b2, 0.0)
-    h2 = _ln(h2, g2, be2)
-    neg = jnp.where(mask[..., None], h2, -1e30)
-    out = jnp.max(neg, axis=2)
-    return jnp.where(jnp.any(mask, axis=2)[..., None], out, 0.0)
+    """Pure-XLA fp32 oracle with identical semantics (for parity tests)."""
+    return _reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2,
+                               be2, bf16=False)
+
+
+def reference_edge_mlp_bf16(a, b_table, nbr, mask, w2, b2, g1, be1, g2, be2):
+    """XLA oracle matching the fused kernels' PRECISION exactly: bf16 input
+    rounding and a bf16 second matmul with fp32 accumulation.  Gradients of
+    this function route the masked-max backward identically to the fused
+    backward kernel (same forward values -> same argmax), which makes
+    elementwise gradient parity assertions deterministic."""
+    return _reference_edge_mlp(a, b_table, nbr, mask, w2, b2, g1, be1, g2,
+                               be2, bf16=True)
 
 
 # ---------------------------------------------------------------------------

@@ -148,16 +148,21 @@ def _vmem_tile_bwd(V, D, H1, H2, tile_v=128):
     """Largest vertex tile <= tile_v whose fused BACKWARD stack fits scoped
     VMEM, or None (caller falls back to remat-XLA for that layer).
 
-    The backward holds the (D*TV, V) one-hot plus ~5 live (D*TV, P1) and
-    ~5 (D*TV, P2) fp32 rails (x/xn1/h/dh/dx and s-derived xn2/dy/dt/ds),
-    and keeps BOTH the bf16 table block and the fp32 (V, P1) scatter
-    accumulator resident."""
+    The backward holds the (D*TV, V) one-hot plus ~4 concurrently-live
+    (D*TV, P1) and ~4 (D*TV, P2) fp32 rails (Mosaic fuses the elementwise
+    LN/relu chains, but x/xn1/h must survive until the late matmuls and
+    xn2/s-sign until the LN2 backward), and keeps BOTH the bf16 table block
+    and the fp32 (V, P1) scatter accumulator resident.  Coefficients follow
+    the sibling _vmem_tile's calibration style (model overcounts actual by
+    ~1.5x against the 21 MB model budget); validated on TPU at the
+    bench-train shape (V=2048, D=12, 128/256 -> TV=128,
+    tests_tpu/test_edge_fused_tpu.py)."""
     P1 = max(128, -(-H1 // 128) * 128)
     P2 = max(128, -(-H2 // 128) * 128)
     for tv in (tile_v, 64, 32):
         if tv > tile_v or V % tv or tv % 8:
             continue
-        need = D * tv * (2 * V + 10 * P1 + 10 * P2) + 6 * V * P1 + 4 * P1 * P2
+        need = D * tv * (2 * V + 16 * P1 + 16 * P2) + 6 * V * P1 + 4 * P1 * P2
         if need <= _VMEM_BUDGET:
             return tv
     return None

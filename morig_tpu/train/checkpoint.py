@@ -44,9 +44,12 @@ def save_checkpoint(state, checkpoint_dir: str, is_best: bool = False,
             json.dump({k: float(v) for k, v in extra.items()}, f)
         os.replace(path + ".json.tmp", path + ".json")
     if is_best:
-        shutil.copyfile(path, os.path.join(checkpoint_dir, "model_best.msgpack"))
+        best = os.path.join(checkpoint_dir, "model_best.msgpack")
+        shutil.copyfile(path, best + ".tmp")
+        os.replace(best + ".tmp", best)
         if extra is not None:
-            shutil.copyfile(path + ".json", os.path.join(checkpoint_dir, "model_best.msgpack.json"))
+            shutil.copyfile(path + ".json", best + ".json.tmp")
+            os.replace(best + ".json.tmp", best + ".json")
     return path
 
 

@@ -164,9 +164,13 @@ def main():
     for stage_name in ("corr", "deform"):
         row = bench_stage(stage_name, args.batch, iters=iters,
                           peak_tflops=args.peak_tflops, **shapes)
-        row["edge_impl"] = args.edge_impl
+        # REQUESTED paths: EdgeMLP's per-layer gates (_fusable/_vmem_tile/
+        # _vmem_tile_bwd) may still fall individual layers back to XLA /
+        # remat-XLA — compare rows against an --edge-impl xla run before
+        # attributing deltas to the kernels
+        row["edge_impl_requested"] = args.edge_impl
         if args.edge_impl != "xla":
-            row["edge_bwd"] = args.edge_bwd
+            row["edge_bwd_requested"] = args.edge_bwd
         print(json.dumps(row))
 
 

@@ -84,9 +84,9 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
             continue
         start_epoch = int(meta.get("epoch", 0))
         init_lowest = float(meta.get("lowest_loss", float("inf")))
-        break
         print(f"[campaign] {name}: resuming at epoch {start_epoch} "
               f"(lowest val {init_lowest:.4f})")
+        break
     t0 = time.time()
     logger = MetricLogger(d)
     state, best = run_epochs(
