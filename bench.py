@@ -124,17 +124,11 @@ def main():
                                tpl_max_degree=12, geo_max_degree=12)
 
     if not args.smoke:
-        from morig_tpu.kernels.edge_fused import check_neighbor_locality
         from morig_tpu.nn import gcu
 
         TILE = 128        # narrow halo: RCM index bandwidth of the fixture fits
-        local = all(
-            check_neighbor_locality(np.asarray(e[k])[None], tile_v=TILE)
-            for e in entries + [track_entry] for k in ("tpl_nbr", "geo_nbr")
-        )
-        if local:
-            gcu.set_edge_tile(TILE)
-        gcu.set_edge_impl("windowed" if local else "fused")
+        chosen = gcu.auto_select_edge_impl(entries + [track_entry], tile_v=TILE)
+        local = chosen == "windowed"
 
     # states: parameters are shape-independent; init on a small fixture
     init_kw = dict(num_points=64, n_lat=9, n_lon=8)
@@ -247,7 +241,6 @@ def main():
         from morig_tpu.nn import gcu
 
         from morig_tpu.data.preprocess import apply_vertex_order, rcm_vertex_order
-        from morig_tpu.kernels.edge_fused import check_neighbor_locality
 
         for tv, res, bucket in ((900, 40, 1024), (1900, 48, 2048),
                                 (3800, 62, 4096)):
@@ -274,15 +267,7 @@ def main():
             # gather scratch is (D*TV, 3*TV) — only TV=128 fits the 16 MB
             # scoped-VMEM budget at H=256; full-table fused only where its
             # V-wide gather fits (V <= 2048); XLA otherwise
-            if bucket % 128 == 0 and all(
-                check_neighbor_locality(np.asarray(centry[k])[None], tile_v=128)
-                for k in ("tpl_nbr", "geo_nbr")
-            ):
-                gcu.set_edge_tile(128)
-                impl = "windowed"
-            else:
-                impl = "fused" if bucket <= 2048 else "xla"
-            gcu.set_edge_impl(impl)
+            gcu.auto_select_edge_impl([centry], tile_v=128)
             pk = RigPredictor(
                 deform, predictor.deform_state, joint, predictor.joint_state,
                 mask, predictor.mask_state, root, predictor.root_state,
@@ -298,7 +283,7 @@ def main():
                                      surf_geos=[csurf] * NBk, device_cache=ck)
             bucket_tp[str(bucket)] = round(NBk * n_it / (time.perf_counter() - t0), 2)
         gcu.set_edge_tile(TILE)
-        gcu.set_edge_impl("windowed" if local else "fused")
+        gcu.set_edge_impl("windowed" if local else "fused")   # restore phase-A choice
 
     result = {
         "metric": "rig_predict_throughput",

@@ -95,6 +95,35 @@ def get_edge_bwd() -> str:
     return _EDGE_BWD
 
 
+def auto_select_edge_impl(entries, tile_v: int = 128,
+                          max_fused_v: int = 2048) -> str:
+    """Pick and SET the edge implementation for a batch of mesh entries
+    (dicts with 'tpl_nbr'/'geo_nbr' (V, D) tables): 'windowed' when every
+    table of every entry satisfies the 3-block halo locality at `tile_v`
+    (ring-ordered fixtures; arbitrary meshes after the RCM reorder of
+    data/preprocess.py), else 'fused' while the padded vertex count keeps
+    the V-wide one-hot gather in budget, else 'xla'.  Returns the choice.
+
+    Process-global, like set_edge_impl: call once per homogeneous batch
+    (bench.py does this per V bucket)."""
+    import numpy as np
+
+    from morig_tpu.kernels.edge_fused import check_neighbor_locality
+
+    V = max(int(np.asarray(e["tpl_nbr"]).shape[0]) for e in entries)
+    local = V % tile_v == 0 and all(
+        check_neighbor_locality(np.asarray(e[k])[None], tile_v=tile_v)
+        for e in entries for k in ("tpl_nbr", "geo_nbr"))
+    if local:
+        set_edge_tile(tile_v)
+        set_edge_impl("windowed")
+    elif V <= max_fused_v:
+        set_edge_impl("fused")
+    else:
+        set_edge_impl("xla")
+    return get_edge_impl()
+
+
 def _fusable(channels, V, H1, H2, tile_v=None, allow_small=False):
     tile_v = tile_v or _EDGE_TILE
     if get_default_norm() != "layer" or len(channels) != 2:

@@ -315,3 +315,31 @@ def test_vmem_tile_bwd_gate():
     assert _vmem_tile_bwd(2048, 12, 128, 256) is not None
     # huge table: no tile fits -> remat-XLA fallback
     assert _vmem_tile_bwd(16384, 16, 512, 512) is None
+
+
+def test_auto_select_edge_impl():
+    """Per-batch kernel auto-selection (closes the manual set_edge_impl
+    flip): windowed for halo-local tables, fused for small non-local meshes,
+    XLA beyond the full-table gather budget."""
+    from morig_tpu.nn import gcu
+
+    prev_impl, prev_tile = gcu.get_edge_impl(), gcu.get_edge_tile()
+    try:
+        V, D = 512, 4
+        base = np.arange(V)[:, None]
+        local_nbr = np.clip(base + np.arange(D)[None] - 2, 0, V - 1).astype(np.int32)
+        e_local = {"tpl_nbr": local_nbr, "geo_nbr": local_nbr}
+        assert gcu.auto_select_edge_impl([e_local], tile_v=128) == "windowed"
+        assert gcu.get_edge_tile() == 128
+        far = local_nbr.copy()
+        far[0, 0] = V - 1                      # block 0 -> block 3: non-local
+        e_far = {"tpl_nbr": far, "geo_nbr": local_nbr}
+        assert gcu.auto_select_edge_impl([e_far], tile_v=128) == "fused"
+        assert gcu.auto_select_edge_impl([e_far], tile_v=128,
+                                         max_fused_v=256) == "xla"
+        # one non-local entry poisons the whole batch
+        assert gcu.auto_select_edge_impl([e_local, e_far],
+                                         tile_v=128) == "fused"
+    finally:
+        gcu.set_edge_impl(prev_impl)
+        gcu.set_edge_tile(prev_tile)
