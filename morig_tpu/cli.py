@@ -41,6 +41,14 @@ def _add_common(p):
     p.add_argument("--fixture-lon", type=int, default=None,
                    help="capsule fixture longitude segments (default 16)")
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--edge-impl", default=None,
+                   choices=["auto", "xla", "fused", "windowed"],
+                   help="edge-message implementation (nn/gcu.py "
+                        "set_edge_impl); 'fused'/'windowed' also enable the "
+                        "Pallas fused forward for TRAINING")
+    p.add_argument("--edge-bwd", default=None, choices=["pallas", "remat_xla"],
+                   help="backward for fused-forward training "
+                        "(set_edge_bwd; default pallas)")
 
 
 def _setup(args):
@@ -48,6 +56,14 @@ def _setup(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "edge_impl", None):
+        from morig_tpu.nn.gcu import set_edge_impl
+
+        set_edge_impl(args.edge_impl)
+    if getattr(args, "edge_bwd", None):
+        from morig_tpu.nn.gcu import set_edge_bwd
+
+        set_edge_bwd(args.edge_bwd)
 
 
 def _fixture_kw(args):
