@@ -59,15 +59,9 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
     else:
-        import os as _os
+        from morig_tpu.core.compile_cache import setup_compile_cache
 
-        # persistent compile cache: each fresh lowering costs ~90 s through
-        # the TPU tunnel on this host; cached executables load in seconds
-        jax.config.update("jax_compilation_cache_dir",
-                          _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                          "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        setup_compile_cache()
 
     import numpy as np
 
@@ -128,7 +122,6 @@ def main():
 
         TILE = 128        # narrow halo: RCM index bandwidth of the fixture fits
         chosen = gcu.auto_select_edge_impl(entries + [track_entry], tile_v=TILE)
-        local = chosen == "windowed"
 
     # states: parameters are shape-independent; init on a small fixture
     init_kw = dict(num_points=64, n_lat=9, n_lon=8)
@@ -283,7 +276,7 @@ def main():
                                      surf_geos=[csurf] * NBk, device_cache=ck)
             bucket_tp[str(bucket)] = round(NBk * n_it / (time.perf_counter() - t0), 2)
         gcu.set_edge_tile(TILE)
-        gcu.set_edge_impl("windowed" if local else "fused")   # restore phase-A choice
+        gcu.set_edge_impl(chosen)                             # restore phase-A choice
 
     result = {
         "metric": "rig_predict_throughput",

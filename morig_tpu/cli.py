@@ -340,18 +340,19 @@ def cmd_predict_rig(args):
             continue
         pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
         entry = rig_ds._mesh_cache[i]
-        rig = predictor.predict_rig(entry, pts_frames)
+        inter = {} if args.save_intermediates else None
+        rig = predictor.predict_rig(entry, pts_frames, intermediates=inter)
         rig.save(out)
         if args.save_intermediates:
             # the eval_rigging.py artifact pair (shifted pts + attention,
-            # train_rig.py:257,264) consumed by `eval rig --res`
+            # train_rig.py:257,264) consumed by `eval rig --res` — stage
+            # byproducts stashed by predict_rig, not recomputed
             from morig_tpu.data.mesh_io import write_ply_points
             from morig_tpu.geometry import skeleton as sk
 
-            shifted, attn = predictor.predict_shift_attn(
-                entry, predictor.predict_flow(entry, pts_frames))
-            write_ply_points(os.path.join(args.out, f"{m.name}_shift.ply"), shifted)
-            np.save(os.path.join(args.out, f"{m.name}_attn.npy"), attn)
+            write_ply_points(os.path.join(args.out, f"{m.name}_shift.ply"),
+                             inter["shifted"])
+            np.save(os.path.join(args.out, f"{m.name}_attn.npy"), inter["attn"])
             gt = rig_ds.models[i].rig
             sk.Rig(names=list(gt.names), pos=gt.pos, parents=gt.parents,
                    skins=gt.skins).save(

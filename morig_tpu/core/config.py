@@ -108,7 +108,7 @@ class SkinPostConfig:
     # geodesic reordering only drops occluded bones OUT of the final
     # nearest_bone=K set, so K' ≳ 2K keeps the selected set); None = rays
     # to every bone
-    geo_candidates: int | None = 8
+    geo_candidates: int | None = 10
 
 
 @dataclasses.dataclass(frozen=True)

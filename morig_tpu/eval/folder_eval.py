@@ -138,7 +138,9 @@ def eval_rig_folder(res_folder: str, gt_folder: str,
     print(f"Joint recall {agg['joint_recall'] * 100:.3f} %")
     if write_npz:
         out = os.path.join(res_folder, "rig_eval.npz")
-        np.savez(out, names=np.array(names),
+        # names must align with the metric rows: models skipped for missing
+        # GT are excluded from BOTH
+        np.savez(out, names=np.array([n for n, _ in rows]),
                  **{k: np.array([r.get(k, np.nan) for _, r in rows])
                     for k in rows[0][1]},
                  **{f"mean_{k}": v for k, v in agg.items()})
@@ -160,7 +162,11 @@ def eval_tracking_folder(res_folder: str, gt_folder: str,
     for name in names:
         z = np.load(os.path.join(res_folder, f"{name}_tracking.npz"))
         pred = z["pred_vtx_traj"]                       # (V, T, 3)
-        gt_traj = np.load(os.path.join(gt_folder, f"{name}_vtx_traj.npy"))
+        gt_path = os.path.join(gt_folder, f"{name}_vtx_traj.npy")
+        if not os.path.exists(gt_path):
+            print(f"  [skip] {name}: no GT trajectory in {gt_folder}")
+            continue
+        gt_traj = np.load(gt_path)
         if gt_traj.ndim == 2:
             gt_traj = gt_traj.reshape(len(gt_traj), -1, 3)
         vis_path = os.path.join(gt_folder, f"{name}_vismask.npy")
@@ -184,6 +190,9 @@ def eval_tracking_folder(res_folder: str, gt_folder: str,
             out = os.path.join(res_folder, f"{name}_flow_errors.npz")
             np.savez(out, full_flow_error=full_per_frame,
                      vis_flow_error=vis_per_frame)
+    if not rows:
+        raise FileNotFoundError(
+            f"no predictions in {res_folder} had a GT trajectory in {gt_folder}")
     agg = dict(full_flow_error=float(np.mean(fulls)),
                vis_flow_error=float(np.mean(viss)))
     print(f"mean full flow error {agg['full_flow_error']:.5f}")

@@ -90,6 +90,13 @@ def smooth_tracking_quats(rig: Rig, rest_verts: np.ndarray,
     from morig_tpu.geometry.rotations import quaternion_to_matrix
 
     quats = np.array(quats, np.float64)
+    # hemisphere-align adjacent frames first: q and -q encode the same
+    # rotation, but averaging q with -q cancels to ~0 and normalizes to
+    # garbage.  Walk the sequence flipping each frame's sign to match its
+    # predecessor (per joint).
+    for t in range(1, quats.shape[1]):
+        flip = (quats[:, t] * quats[:, t - 1]).sum(-1) < 0.0   # (J,)
+        quats[flip, t, :] *= -1.0
     for _ in range(num_pass):
         quats[:, 1:-1, :] = (quats[:, 1:-1, :] + 0.5 * quats[:, 2:, :]
                              + 0.5 * quats[:, :-2, :]) / 2.0

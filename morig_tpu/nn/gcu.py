@@ -160,7 +160,11 @@ def _vmem_tile(V, D, H1, H2, tile_v, windowed=False):
     tile change, so windowed only ever uses the requested tile."""
     P1 = max(128, -(-H1 // 128) * 128)
     P2 = max(128, -(-H2 // 128) * 128)
-    for tv in (tile_v, 128, 64, 32):
+    # the windowed halo precondition was checked at tile_v only, so windowed
+    # never shrinks the tile: either tile_v itself fits (shape AND budget)
+    # or the caller must fall back
+    candidates = (tile_v,) if windowed else (tile_v, 128, 64, 32)
+    for tv in candidates:
         if tv > tile_v or V % tv or tv % 8:
             continue
         width = 3 * tv if windowed else V
@@ -168,8 +172,6 @@ def _vmem_tile(V, D, H1, H2, tile_v, windowed=False):
             + 4 * width * P1
         if need <= _VMEM_BUDGET:
             return tv
-        if windowed:
-            return None
     return None
 
 

@@ -29,6 +29,22 @@ from morig_tpu.geometry.voxel import Voxels, inside_check_np
 from morig_tpu.pipelines.skeleton import predict_skeleton
 
 
+def batch_fingerprint(Bn: int, T: int, mesh_entries: Sequence[dict]) -> tuple:
+    """Content fingerprint of a mesh batch for device-cache validation.
+
+    Built from shapes + cheap array checksums rather than object ids:
+    CPython id reuse after GC could validate a STALE cache (the exact bug
+    the check exists to prevent), while byte-identical rebuilt entries are
+    legitimately reusable and must not be rejected."""
+    def _entry_fp(e):
+        v = e["verts"]
+        return (v.shape, float(v.sum()), float(np.abs(v).sum()),
+                int(e["vert_mask"].sum()), int(e["tpl_nbr"].sum()),
+                int(e["geo_nbr"].sum()))
+
+    return (Bn, T, tuple(_entry_fp(e) for e in mesh_entries))
+
+
 @dataclasses.dataclass
 class RigPredictor:
     """Bundles the trained stages + states of the full pipeline."""
@@ -86,8 +102,10 @@ class RigPredictor:
         return shifted, attn.reshape(-1)
 
     def predict_joints(self, mesh_entry: dict, flow: np.ndarray,
-                       vox: Optional[Voxels] = None) -> np.ndarray:
-        shifted, attn = self.predict_shift_attn(mesh_entry, flow)
+                       vox: Optional[Voxels] = None,
+                       shift_attn: Optional[tuple] = None) -> np.ndarray:
+        shifted, attn = (shift_attn if shift_attn is not None
+                         else self.predict_shift_attn(mesh_entry, flow))
         inside = (lambda p: inside_check_np(p, vox)) if vox is not None else None
         jc = self.cfg.joints
         return extract_joints(
@@ -148,9 +166,17 @@ class RigPredictor:
     # -- everything ----------------------------------------------------------
     def predict_rig(self, mesh_entry: dict, pts_frames: np.ndarray,
                     vox: Optional[Voxels] = None,
-                    geo_dist: Optional[np.ndarray] = None) -> sk.Rig:
+                    geo_dist: Optional[np.ndarray] = None,
+                    intermediates: Optional[dict] = None) -> sk.Rig:
+        """Full per-mesh DAG.  Pass `intermediates={}` to also receive the
+        flow and the shifted-points/attention artifact pair (computed once,
+        not re-run — they are stage byproducts)."""
         flow = self.predict_flow(mesh_entry, pts_frames)
-        joints = self.predict_joints(mesh_entry, flow, vox)
+        shifted, attn = self.predict_shift_attn(mesh_entry, flow)
+        if intermediates is not None:
+            intermediates.update(flow=flow, shifted=shifted, attn=attn)
+        joints = self.predict_joints(mesh_entry, flow, vox,
+                                     shift_attn=(shifted, attn))
         if len(joints) == 0:  # degenerate fallback: one joint at the centroid
             vmask = np.asarray(mesh_entry["vert_mask"])
             joints = mesh_entry["verts"][vmask].mean(0, keepdims=True)
@@ -435,9 +461,10 @@ class RigPredictor:
         # uploaded once per distinct batch when the caller passes a
         # device_cache — production streams each mesh to the chip once, not
         # once per pipeline stage.  The cache is fingerprinted by the mesh
-        # batch it was built from: reusing it with different meshes would
-        # silently run the whole DAG on stale tensors (ADVICE r2 #3).
-        fp = (Bn, T, tuple(id(e) for e in mesh_entries))
+        # batch CONTENT (see batch_fingerprint): reusing it with different
+        # meshes would silently run the whole DAG on stale tensors
+        # (ADVICE r2 #3).
+        fp = batch_fingerprint(Bn, T, mesh_entries)
         if cache.get("_fingerprint", fp) != fp:
             raise ValueError(
                 "device_cache was built from a different mesh batch; pass a "

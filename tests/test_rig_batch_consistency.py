@@ -58,3 +58,22 @@ def test_batch_matches_single():
         diff = np.abs(rig_b.skins - rig_s.skins[:, perm])
         mismatch = np.mean(diff > 0.05)
         assert mismatch < 0.10, f"{mismatch:.3f} of weights differ beyond ties"
+
+
+@pytest.mark.fast
+def test_batch_fingerprint_content_based():
+    """Cache fingerprints must be content-based: identical rebuilt entries
+    reuse the cache; different meshes (even at the same object ids) do not."""
+    import numpy as np
+    from morig_tpu.core import batch as B
+    from morig_tpu.pipelines.rig_predict import batch_fingerprint
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(40, 3)).astype(np.float32)
+    e = np.array([[i, (i + 1) % 40] for i in range(40)])
+    a = [B.build_mesh(v, e, e, 64)]
+    b = [B.build_mesh(v.copy(), e.copy(), e.copy(), 64)]   # fresh objects
+    assert batch_fingerprint(1, 5, a) == batch_fingerprint(1, 5, b)
+    c = [B.build_mesh(v + 0.01, e, e, 64)]                 # different mesh
+    assert batch_fingerprint(1, 5, a) != batch_fingerprint(1, 5, c)
+    assert batch_fingerprint(1, 4, a) != batch_fingerprint(1, 5, a)

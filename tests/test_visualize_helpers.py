@@ -78,3 +78,20 @@ def test_smooth_quats_damps_jitter():
     err_noisy = np.abs(traj_noisy - traj_clean).mean()
     err_smooth = np.abs(traj_smooth - traj_clean).mean()
     assert err_smooth < err_noisy
+
+
+def test_smooth_quats_hemisphere_alignment():
+    """q and -q encode the same rotation; a sequence that flips hemisphere
+    mid-stream must NOT cancel to ~0 in the temporal blend (the 1-2-1 average
+    of q with -q normalizes to garbage without sign alignment)."""
+    rig = _toy_rig()
+    rng = np.random.default_rng(4)
+    rest = rng.normal(size=(25, 3)).astype(np.float32)
+    T = 7
+    quats = np.zeros((3, T, 4))
+    quats[..., 3] = 1.0
+    quats[:, 2:4] *= -1.0         # identity again, opposite hemisphere
+    traj, sm = smooth_tracking_quats(rig, rest, quats)
+    np.testing.assert_allclose(np.linalg.norm(sm, axis=-1), 1.0, atol=1e-6)
+    for t in range(T):
+        np.testing.assert_allclose(traj[:, t, :], rest, atol=1e-5)

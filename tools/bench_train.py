@@ -149,12 +149,9 @@ def main():
         shapes = dict(n_lat=9, n_lon=8, num_points=64)
         iters = 2
     else:
-        # persistent compile cache (accelerator only: CPU AOT entries are
-        # machine-feature-pinned and just spam warnings on reload)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from morig_tpu.core.compile_cache import setup_compile_cache
+
+        setup_compile_cache()
         shapes = dict(n_lat=37, n_lon=36, num_points=1024)   # V=1262 -> 1536
         iters = args.iters
     from morig_tpu.nn.gcu import set_edge_bwd, set_edge_impl

@@ -30,10 +30,9 @@ import jax
 
 # Persistent compile cache: the TPU tunnel costs ~90 s per fresh lowering on
 # this host; cached executables cut re-runs to seconds.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from morig_tpu.core.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 
 # ---------------------------------------------------------------------------
@@ -174,8 +173,14 @@ def main():
     deform_state0 = deform.init_state(jax.random.key(0), d0)
     deform_state0 = deform.init_extractor_from(
         deform_state0, corr_state.params, corr_state.batch_stats)
+    deform_was_done = stage_done(os.path.join(args.dir, "deform"))
     deform_state = train_stage(deform, "deform", args.dir, deform_batches,
                                E["deform"], resume_state=deform_state0)
+    if not deform_was_done:
+        # deform (re)trained this run: any cached flow dump is stale
+        stale = os.path.join(args.dir, "pred_flows.npz")
+        if os.path.exists(stale):
+            os.remove(stale)
 
     # ---- pred_flow dumps for the rig stages (README.md:84-85 handoff) -----
     def pred_flow_for(ds):
@@ -193,20 +198,27 @@ def main():
         return flows
 
     flows_path = os.path.join(args.dir, "pred_flows.npz")
+    flows_tr = flows_val = flows_te = None
     if os.path.exists(flows_path):
-        z = np.load(flows_path)
-        flows_tr = [z[f"tr{i}"] for i in range(len(train_seeds))]
-        flows_val = [z[f"val{i}"] for i in range(len(val_seeds))]
-        flows_te = [z[f"te{i}"] for i in range(len(test_seeds))]
-    else:
+        try:
+            z = np.load(flows_path)
+            flows_tr = [z[f"tr{i}"] for i in range(len(train_seeds))]
+            flows_val = [z[f"val{i}"] for i in range(len(val_seeds))]
+            flows_te = [z[f"te{i}"] for i in range(len(test_seeds))]
+        except Exception as e:  # torn write from a mid-save crash: regenerate
+            print(f"[campaign] pred_flows.npz unreadable ({e}); regenerating")
+            flows_tr = None
+    if flows_tr is None:
         t0 = time.time()
         flows_tr = pred_flow_for(pose_tr)
         flows_val = pred_flow_for(pose_val)
         flows_te = pred_flow_for(pose_te)
-        np.savez(flows_path,
+        tmp = flows_path[:-4] + "_tmp.npz"   # np.savez appends .npz otherwise
+        np.savez(tmp,
                  **{f"tr{i}": f for i, f in enumerate(flows_tr)},
                  **{f"val{i}": f for i, f in enumerate(flows_val)},
                  **{f"te{i}": f for i, f in enumerate(flows_te)})
+        os.replace(tmp, flows_path)                     # atomic, like ckpts
         print(f"[campaign] pred_flow dumps in {time.time()-t0:.0f}s")
 
     rig_tr = creature_rig_dataset(num_models=len(train_seeds), seed=train_seeds[0],
