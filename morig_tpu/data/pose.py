@@ -144,11 +144,13 @@ class PoseDataset:
             gt_flow=jnp.asarray(np.stack(flows)),
         )
 
-    def epoch_batches(self, rng: np.random.Generator, batch_size: int, kind: str,
-                      sequential: bool, train: bool = True):
-        """Yield PoseSample batches for one epoch: models grouped per bucket
-        (homogeneous static shapes -> one compiled program per bucket), batch
-        order shuffled across buckets when training."""
+    def epoch_schedule(self, rng: np.random.Generator, batch_size: int, kind: str,
+                       sequential: bool, train: bool = True
+                       ) -> list[tuple[list[int], int, int]]:
+        """The (model indices, src, tar) schedule of one epoch, separated from
+        batch assembly so the epoch-scanned trainer (train/scanned.py) can ship
+        it to a device-resident gather.  rng call order matches the historical
+        generator exactly (permutation -> batch shuffle -> per-batch pair)."""
         order = rng.permutation(len(self.models)) if train else np.arange(len(self.models))
         nf = min(m.num_frames for m in self.models)
 
@@ -170,12 +172,23 @@ class PoseDataset:
         if train and len(batch_ids) > 1:
             batch_ids = [batch_ids[k] for k in rng.permutation(len(batch_ids))]
 
+        sched = []
         for idx in batch_ids:
             if train:
                 src, tar = sample_frame_pair(rng, kind, sequential, nf)
             else:
                 src, tar = eval_frame_pair(sequential)
                 src, tar = min(src, nf - 2), min(tar, nf - 1)
+            sched.append((idx, src, tar))
+        return sched
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int, kind: str,
+                      sequential: bool, train: bool = True):
+        """Yield PoseSample batches for one epoch: models grouped per bucket
+        (homogeneous static shapes -> one compiled program per bucket), batch
+        order shuffled across buckets when training."""
+        for idx, src, tar in self.epoch_schedule(rng, batch_size, kind,
+                                                 sequential, train):
             yield self.batch(idx, src, tar)
 
 

@@ -162,14 +162,22 @@ class RigDataset:
             skin_nn=arr["skin_nn"], loss_mask=arr["loss_mask"],
         )
 
-    def epoch_batches(self, rng: np.random.Generator, batch_size: int, train: bool = True):
+    def epoch_schedule(self, rng: np.random.Generator, batch_size: int,
+                       train: bool = True) -> list[list[int]]:
+        """Model-index schedule of one epoch (see PoseDataset.epoch_schedule)."""
         order = rng.permutation(len(self.models)) if train else np.arange(len(self.models))
+        sched = []
         for s in range(0, len(order), batch_size):
             idx = order[s : s + batch_size]
             if len(idx) < batch_size:
                 idx = np.concatenate([idx, order[: batch_size - len(idx)]]) if train \
                     else np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
-            yield self.batch(idx.tolist())
+            sched.append([int(i) for i in idx])
+        return sched
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int, train: bool = True):
+        for idx in self.epoch_schedule(rng, batch_size, train):
+            yield self.batch(idx)
 
 
 def capsule_rig_dataset(num_models: int = 2, seed: int = 0, num_keyframes: int = 5,

@@ -53,9 +53,15 @@ def mark_done(d, info):
         json.dump(info, f)
 
 
-def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=None):
-    """Train one stage with best-on-val checkpointing; resume if done."""
+def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=None,
+                batcher=None, chunk=25):
+    """Train one stage with best-on-val checkpointing; resume if done.
+
+    With `batcher` (a train/scanned.py ScanBatcher) the epoch loop runs as
+    chunked device programs (one dispatch per `chunk` epochs) — essential over
+    the high-RTT TPU tunnel where per-batch dispatch costs ~seconds."""
     from morig_tpu.train import checkpoint as ckpt
+    from morig_tpu.train.scanned import run_epochs_scanned
     from morig_tpu.train.trainer import MetricLogger, run_epochs
 
     d = os.path.join(out_dir, name)
@@ -88,15 +94,24 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
         break
     t0 = time.time()
     logger = MetricLogger(d)
-    state, best = run_epochs(
-        stage, state,
-        train_batches=lambda e: batch_fn(rng_np),
-        val_batches=lambda: batch_fn(rng_np, train=False),
-        test_batches=None,
-        epochs=epochs, checkpoint_dir=d, logger=logger,
-        rng=jax.random.key(seed + 1),
-        start_epoch=start_epoch, init_lowest=init_lowest,
-    )
+    if batcher is not None:
+        state, best = run_epochs_scanned(
+            stage, state, batcher,
+            epochs=epochs, checkpoint_dir=d, logger=logger,
+            rng=jax.random.key(seed + 1), rng_np=rng_np,
+            start_epoch=start_epoch, init_lowest=init_lowest,
+            chunk_epochs=chunk,
+        )
+    else:
+        state, best = run_epochs(
+            stage, state,
+            train_batches=lambda e: batch_fn(rng_np),
+            val_batches=lambda: batch_fn(rng_np, train=False),
+            test_batches=None,
+            epochs=epochs, checkpoint_dir=d, logger=logger,
+            rng=jax.random.key(seed + 1),
+            start_epoch=start_epoch, init_lowest=init_lowest,
+        )
     state, meta = ckpt.load_checkpoint(state, best_path)
     mark_done(d, dict(best_epoch=best, seconds=time.time() - t0))
     print(f"[campaign] {name}: trained {epochs} epochs in {time.time()-t0:.0f}s "
@@ -152,14 +167,25 @@ def main():
           f"({time.time()-t_all:.0f}s)")
 
     # ---- stage 1: CorrNet -------------------------------------------------
+    from morig_tpu.train.scanned import (
+        const_scan_batcher, pose_scan_batcher, rig_scan_batcher,
+        with_val_dataset,
+    )
+
     corr = CorrPoseStage()
     corr.train_vismask = True
+    corr.vis_branch_start_epoch = 0   # branch on from the start (explicit)
 
     def corr_batches(rng, train=True):
         ds = pose_tr if train else pose_val
         return ds.epoch_batches(rng, bs, "modelsresource", False, train)
 
-    corr_state = train_stage(corr, "corr", args.dir, corr_batches, E["corr"])
+    pose_b = with_val_dataset(
+        pose_scan_batcher(pose_tr, bs, "modelsresource", False),
+        pose_scan_batcher(pose_val, bs, "modelsresource", False),
+    )
+    corr_state = train_stage(corr, "corr", args.dir, corr_batches, E["corr"],
+                             batcher=pose_b)
 
     # ---- stage 2: DeformNet (frozen extractor init'd from corr) -----------
     deform = DeformPoseStage()
@@ -175,7 +201,8 @@ def main():
         deform_state0, corr_state.params, corr_state.batch_stats)
     deform_was_done = stage_done(os.path.join(args.dir, "deform"))
     deform_state = train_stage(deform, "deform", args.dir, deform_batches,
-                               E["deform"], resume_state=deform_state0)
+                               E["deform"], resume_state=deform_state0,
+                               batcher=pose_b)
     if not deform_was_done:
         # deform (re)trained this run: any cached flow dump is stale
         stale = os.path.join(args.dir, "pred_flows.npz")
@@ -240,12 +267,16 @@ def main():
         ds = rig_tr if train else rig_val
         return ds.epoch_batches(rng, bs, train)
 
-    joint_state = train_stage(joint, "joints", args.dir, rig_batches, E["rig"])
-    mask_state = train_stage(mask, "mask", args.dir, rig_batches, E["rig"])
+    rig_b = rig_scan_batcher(rig_tr, bs, val_ds=rig_val)
+    joint_state = train_stage(joint, "joints", args.dir, rig_batches, E["rig"],
+                              batcher=rig_b)
+    mask_state = train_stage(mask, "mask", args.dir, rig_batches, E["rig"],
+                             batcher=rig_b)
 
     # ---- stage 5: skin ----------------------------------------------------
     skin = SkinStage(num_embed_sample=nes)
-    skin_state = train_stage(skin, "skin", args.dir, rig_batches, E["skin"])
+    skin_state = train_stage(skin, "skin", args.dir, rig_batches, E["skin"],
+                             batcher=rig_b)
 
     # ---- stage 6: bone/root (diverse joint sets: GT + perturbed) ----------
     skel_tr = creature_skel_dataset(num_models=len(train_seeds), seed=train_seeds[0],
@@ -258,8 +289,11 @@ def main():
     def skel_batches(rng, train=True):
         yield skel_tr if train else skel_val
 
-    bone_state = train_stage(bone, "bone", args.dir, skel_batches, E["skel"])
-    root_state = train_stage(root, "root", args.dir, skel_batches, E["skel"])
+    skel_b = const_scan_batcher(skel_tr, skel_val)
+    bone_state = train_stage(bone, "bone", args.dir, skel_batches, E["skel"],
+                             batcher=skel_b)
+    root_state = train_stage(root, "root", args.dir, skel_batches, E["skel"],
+                             batcher=skel_b)
 
     # ---- held-out evaluation ---------------------------------------------
     from morig_tpu.eval.metrics import (
