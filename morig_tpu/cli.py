@@ -41,6 +41,10 @@ def _add_common(p):
     p.add_argument("--fixture-lon", type=int, default=None,
                    help="capsule fixture longitude segments (default 16)")
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--scan-epochs", type=int, default=0,
+                   help="fuse N epochs per device dispatch (train/scanned.py; "
+                        "recommended ~25 over high-latency device links; "
+                        "0 = per-batch loop)")
     p.add_argument("--edge-impl", default=None,
                    choices=["auto", "xla", "fused", "windowed"],
                    help="edge-message implementation (nn/gcu.py "
@@ -113,7 +117,28 @@ def _rig_dataset(args):
     return RigDataset(load_rig_models(args.data))
 
 
-def _train_loop(stage, dataset, args, batch_fn, default_epochs):
+def _scan_batcher_for(dataset, sample, args):
+    """Build a ScanBatcher for --scan-epochs from the dataset type; None when
+    the dataset can't be scanned (multi-bucket pose sets)."""
+    from morig_tpu.data.pose import PoseDataset
+    from morig_tpu.data.rig import RigDataset
+    from morig_tpu.train.scanned import (
+        const_scan_batcher, pose_scan_batcher, rig_scan_batcher,
+    )
+
+    if isinstance(dataset, PoseDataset):
+        if len(set(dataset.bucket_of)) != 1:
+            print("[train] --scan-epochs needs a single vertex bucket; "
+                  "falling back to the per-batch loop")
+            return None
+        return pose_scan_batcher(dataset, args.batch_size, args.kind,
+                                 args.sequential)
+    if isinstance(dataset, RigDataset):
+        return rig_scan_batcher(dataset, args.batch_size)
+    return const_scan_batcher(sample)
+
+
+def _train_loop(stage, dataset, args, batch_fn, default_epochs, state=None):
     import jax
 
     from morig_tpu.train import checkpoint as ckpt
@@ -121,21 +146,34 @@ def _train_loop(stage, dataset, args, batch_fn, default_epochs):
 
     rng_np = np.random.default_rng(args.seed)
     sample = next(batch_fn(rng_np))
-    state = stage.init_state(jax.random.key(args.seed), sample)
+    if state is None:
+        state = stage.init_state(jax.random.key(args.seed), sample)
     start_epoch = 0
     if args.resume:
         state, meta = ckpt.load_checkpoint(state, args.resume)
         start_epoch = int(meta.get("epoch", 0))
     epochs = args.epochs or default_epochs
     logger = MetricLogger(args.logdir)
-    state, best = run_epochs(
-        stage, state,
-        train_batches=lambda e: batch_fn(rng_np),
-        val_batches=lambda: batch_fn(rng_np, train=False),
-        test_batches=None,
-        epochs=epochs, checkpoint_dir=args.checkpoint, logger=logger,
-        start_epoch=start_epoch, rng=jax.random.key(args.seed + 1),
-    )
+    scan = getattr(args, "scan_epochs", 0)
+    batcher = _scan_batcher_for(dataset, sample, args) if scan else None
+    if batcher is not None:
+        from morig_tpu.train.scanned import run_epochs_scanned
+
+        state, best = run_epochs_scanned(
+            stage, state, batcher,
+            epochs=epochs, checkpoint_dir=args.checkpoint, logger=logger,
+            start_epoch=start_epoch, rng=jax.random.key(args.seed + 1),
+            rng_np=rng_np, chunk_epochs=scan,
+        )
+    else:
+        state, best = run_epochs(
+            stage, state,
+            train_batches=lambda e: batch_fn(rng_np),
+            val_batches=lambda: batch_fn(rng_np, train=False),
+            test_batches=None,
+            epochs=epochs, checkpoint_dir=args.checkpoint, logger=logger,
+            start_epoch=start_epoch, rng=jax.random.key(args.seed + 1),
+        )
     print(f"best epoch: {best}; checkpoints in {args.checkpoint}")
     return state
 
@@ -169,11 +207,11 @@ def cmd_train(args):
             return ds.epoch_batches(rng, args.batch_size, args.kind,
                                     args.sequential, train)
 
+        state = None
         if args.init_extractor:
             import jax as _jax
 
-            rng_np = np.random.default_rng(args.seed)
-            sample = next(batches(rng_np))
+            sample = next(batches(np.random.default_rng(args.seed)))
             state = stage.init_state(_jax.random.key(args.seed), sample)
             from morig_tpu.train.stages import CorrPoseStage
 
@@ -182,15 +220,7 @@ def cmd_train(args):
             corr_state, _ = ckpt.load_checkpoint(corr_state, args.init_extractor)
             state = stage.init_extractor_from(state, corr_state.params,
                                               corr_state.batch_stats)
-            # hand the pre-initialized state to the loop via resume-less path
-            from morig_tpu.train.trainer import MetricLogger, run_epochs
-
-            logger = MetricLogger(args.logdir)
-            run_epochs(stage, state, lambda e: batches(rng_np),
-                       lambda: batches(rng_np, train=False), None,
-                       args.epochs or 150, args.checkpoint, logger)
-        else:
-            _train_loop(stage, ds, args, batches, 150)
+        _train_loop(stage, ds, args, batches, 150, state=state)
     elif stage_name in ("joints", "mask"):
         from morig_tpu.train.stages import RigStage
 
