@@ -74,6 +74,13 @@ class JointExtractConfig:
     meanshift_max_iter: int = 30
     meanshift_step: float = 0.3        # cluster_utils.py:32
     symmetry_tol: float = 2e-2         # mst_utils.py:121-123,300
+    # Cap on cluster-table rows fetched from device per mesh (0 = exact, all
+    # 2V rows).  A cap compacts the tunnel fetch to the top rows by density,
+    # but densest-first truncation drops entire LOW-density modes (extremity
+    # joints on multi-limb bodies lose wholesale to torso clusters: measured
+    # recall 0.37 at cap=1024 vs 0.9+ exact on 19-22-joint creatures) — only
+    # set it for throughput experiments on low-joint-count shapes.
+    cluster_fetch_cap: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

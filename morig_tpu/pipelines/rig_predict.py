@@ -254,14 +254,21 @@ class RigPredictor:
                 quantile=jc.bandwidth_quantile, num_iter=jc.meanshift_max_iter,
                 attn_threshold=jc.attn_threshold, symmetrize=True,
                 has_vox=has_vox)
-            # Compact to the top-D selected rows by density before the fetch:
-            # the tunnel moves ~8 MB/s, so the (B, 2V, 6) f32 cluster table
-            # dominates iteration overhead.  NMS only consumes SELECTED rows,
-            # and rows dropped at D=1024 are the lowest-density points that
-            # lose to denser nearby modes anyway.  f16 halves it again
-            # (positions exact to ~5e-4; counts exact through 2048).
+            # The (B, 2V, 6) cluster table dominates the fetch over the slow
+            # tunnel; f16 halves it (positions exact to ~5e-4; counts exact
+            # through 2048).  Row truncation is EXACT by default
+            # (cluster_fetch_cap=0): a densest-first cap silently drops whole
+            # low-density modes — extremity joints on multi-limb bodies —
+            # which collapsed recall to 0.37 on the creature campaign.
             N2 = moved.shape[1]
-            D = min(1024, N2)
+            D = min(jc.cluster_fetch_cap, N2) if jc.cluster_fetch_cap else N2
+            if D == N2:            # exact: all rows, no sort needed
+                packed = jnp.concatenate([
+                    moved, counts.astype(jnp.float32)[..., None],
+                    attn2.astype(jnp.float32)[..., None],
+                    sel2.astype(jnp.float32)[..., None],
+                ], axis=-1).astype(jnp.float16)
+                return flow, packed, bw
             key = jnp.where(sel2, counts.astype(jnp.float32)
                             + jnp.clip(attn2, 0.0, 1.0), -1.0)
             _, didx = jax.lax.top_k(key, D)                       # (B, D)
