@@ -125,6 +125,7 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--train-creatures", type=int, default=len(TRAIN_SEEDS))
     args = ap.parse_args()
     os.makedirs(args.dir, exist_ok=True)
 
@@ -139,15 +140,22 @@ def main():
     if args.smoke:
         train_seeds, val_seeds, test_seeds = [0, 1], [100], [200]
         n_pts, tv = 256, 700
-        E = dict(corr=3, deform=3, rig=3, skin=3, skel=3)
+        E = dict(corr=3, deform=3, deform_seq=3, rig=3, skin=3, skel=3)
         bs = 2
+        seq_frames = 5
     else:
-        train_seeds, val_seeds, test_seeds = TRAIN_SEEDS, VAL_SEEDS, TEST_SEEDS
+        train_seeds = list(range(args.train_creatures))
+        val_seeds, test_seeds = VAL_SEEDS, TEST_SEEDS
         n_pts, tv = 1024, 1900
         s = args.epochs_scale
-        E = dict(corr=int(200 * s), deform=int(150 * s), rig=int(150 * s),
-                 skin=int(150 * s), skel=int(120 * s))
+        # rig/skin/skel were still improving at the round-3 v1 caps (best
+        # epoch == last); corr overfit its 12-creature set by epoch ~70, so
+        # more DATA (--train-creatures) is its lever, not more epochs.
+        E = dict(corr=int(200 * s), deform=int(150 * s),
+                 deform_seq=int(150 * s), rig=int(300 * s),
+                 skin=int(300 * s), skel=int(240 * s))
         bs = args.batch_size
+        seq_frames = 11
 
     t_all = time.time()
 
@@ -208,6 +216,35 @@ def main():
         stale = os.path.join(args.dir, "pred_flows.npz")
         if os.path.exists(stale):
             os.remove(stale)
+
+    # ---- stage 2b: sequential DeformNet (the tracking model) ---------------
+    # The reference trains a separate DeformNet on contiguous frame pairs
+    # (SeqModelsResourcesDataset, dataset_pose.py:101-140; --sequential_frame)
+    # and THAT checkpoint drives tracking (eval_tracking.py:21,208-211):
+    # frame-to-frame deltas are far smaller than discrete keyframe motion.
+    def pose_seq_ds(seeds):
+        return creature_pose_dataset(num_models=len(seeds), seed=seeds[0],
+                                     num_frames=seq_frames, num_points=n_pts,
+                                     target_verts=tv)
+
+    pose_seq_tr = pose_seq_ds(train_seeds)
+    pose_seq_val = pose_seq_ds(val_seeds)
+    seq_b = with_val_dataset(
+        pose_scan_batcher(pose_seq_tr, bs, "modelsresource", True),
+        pose_scan_batcher(pose_seq_val, bs, "modelsresource", True),
+    )
+
+    def seq_batches(rng, train=True):
+        ds = pose_seq_tr if train else pose_seq_val
+        return ds.epoch_batches(rng, bs, "modelsresource", True, train)
+
+    deform_seq = DeformPoseStage()
+    dseq0 = deform_seq.init_state(jax.random.key(0), next(seq_batches(np.random.default_rng(0))))
+    dseq0 = deform_seq.init_extractor_from(
+        dseq0, corr_state.params, corr_state.batch_stats)
+    deform_seq_state = train_stage(deform_seq, "deform_seq", args.dir,
+                                   seq_batches, E["deform_seq"],
+                                   resume_state=dseq0, batcher=seq_b)
 
     # ---- pred_flow dumps for the rig stages (README.md:84-85 handoff) -----
     def pred_flow_for(ds):
@@ -380,7 +417,8 @@ def main():
                     parents=c.parents, skins=c.skins)
     entry = B.build_mesh(c.verts, seq["tpl_edges"], seq["geo_edges"],
                          B.bucket_size(len(c.verts), (1024, 2048, 4096)))
-    tracker = Tracker(deform, deform_state, gt_rig, entry)
+    # tracking drives the SEQUENTIAL deform model (eval_tracking.py:21)
+    tracker = Tracker(deform_seq, deform_seq_state, gt_rig, entry)
     run_tracker = make_scanned_tracker(tracker)
     t0 = time.time()
     traj, vis, quats = run_tracker(c.verts, seq["pts_traj"])

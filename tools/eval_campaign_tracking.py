@@ -57,10 +57,14 @@ def main():
     # trained DeformNet from the campaign (params are shape-independent of
     # the init batch, so a tiny capsule batch suffices as the template)
     stage = DeformPoseStage()
+    seq_best = os.path.join(args.dir, "deform_seq", "model_best.msgpack")
     tiny = capsule_pose_dataset(num_models=1, num_frames=3, num_points=64,
                                 n_lat=7, n_lon=6)
     state = stage.init_state(jax.random.key(0), tiny.batch([0], 0, 1))
-    best = os.path.join(args.dir, "deform", "model_best.msgpack")
+    # prefer the sequential deform model: tracking consumes frame-to-frame
+    # deltas (eval_tracking.py:21 loads the seq checkpoint)
+    best = seq_best if os.path.exists(seq_best) \
+        else os.path.join(args.dir, "deform", "model_best.msgpack")
     state, meta = ckpt.load_checkpoint(state, best)
     print(f"[track-eval] deform checkpoint: {best} (epoch {meta.get('epoch')})")
 
