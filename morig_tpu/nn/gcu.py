@@ -162,10 +162,12 @@ def _vmem_tile(V, D, H1, H2, tile_v, windowed=False):
     P2 = max(128, -(-H2 // 128) * 128)
     # the windowed halo precondition was checked at tile_v only, so windowed
     # never shrinks the tile: either tile_v itself fits (shape AND budget)
-    # or the caller must fall back
-    candidates = (tile_v,) if windowed else (tile_v, 128, 64, 32)
+    # or the caller must fall back.  Tiles must be multiples of 128: the
+    # (1, D, TV) neighbor-table block's last dim can't lower otherwise
+    # (Mosaic requires last-dim % 128 == 0 or == the array dim).
+    candidates = (tile_v,) if windowed else (tile_v, 128)
     for tv in candidates:
-        if tv > tile_v or V % tv or tv % 8:
+        if tv > tile_v or V % tv or tv % 128:
             continue
         width = 3 * tv if windowed else V
         need = D * tv * (2 * width + 4 * P1 + 4 * max(P1, P2)) \
@@ -188,13 +190,22 @@ def _vmem_tile_bwd(V, D, H1, H2, tile_v=128):
     ~1.5x against the 21 MB model budget); validated on TPU at the
     bench-train shape (V=2048, D=12, 128/256 -> TV=128,
     tests_tpu/test_edge_fused_tpu.py)."""
+    # Empirical scoped-VMEM model calibrated on measured compile OOMs INSIDE
+    # full train programs (where XLA parks the kernel's (B,V,H1) f32 outputs
+    # in S(1) vmem, unlike the standalone kernel tests):
+    #   D=12, V=2048, P=128/128, TV=128 -> 17.64 MB actual (OOM, limit 16)
+    #   D=16, V=2048, P=128/128, TV=128 -> 23.82 MB actual (OOM)
+    # actual ~= D*TV*(2V + 32*(P1+P2)) + 8*V*P1 within ~15%; gate at 15.5 MB
+    # for margin.  At production shapes (V=2048, D=12) this rejects every
+    # tile — the remat-XLA backward is the production training path; the
+    # one-pass kernel engages only where it truly fits (small V / low D).
     P1 = max(128, -(-H1 // 128) * 128)
     P2 = max(128, -(-H2 // 128) * 128)
-    for tv in (tile_v, 64, 32):
-        if tv > tile_v or V % tv or tv % 8:
+    for tv in (tile_v,):      # must stay a multiple of 128 (see _vmem_tile)
+        if tv > tile_v or V % tv or tv % 128:
             continue
-        need = D * tv * (2 * V + 16 * P1 + 16 * P2) + 6 * V * P1 + 4 * P1 * P2
-        if need <= _VMEM_BUDGET:
+        need = D * tv * (2 * V + 32 * (P1 + P2)) + 8 * V * P1
+        if need <= int(15.5 * 2 ** 20):
             return tv
     return None
 

@@ -33,7 +33,8 @@ def _flops_of(jitted, args_) -> float:
 
 
 def bench_stage(stage_name: str, batch_size: int, n_lat: int, n_lon: int,
-                num_points: int, iters: int, peak_tflops: float) -> dict:
+                num_points: int, iters: int, peak_tflops: float,
+                scan_steps: int = 0) -> dict:
     import jax
     import numpy as np
 
@@ -42,6 +43,12 @@ def bench_stage(stage_name: str, batch_size: int, n_lat: int, n_lon: int,
 
     ds = capsule_pose_dataset(num_models=batch_size, num_frames=4,
                               num_points=num_points, n_lat=n_lat, n_lon=n_lon)
+    # degree-12 neighbor tables: the bench.py fixture convention and the
+    # hardware-validated envelope of the fused backward kernel (nn/gcu.py
+    # _vmem_tile_bwd); the capsule's real degrees are <= 8 except the poles
+    from morig_tpu.data.pose import PoseDataset
+
+    ds = PoseDataset(ds.models, tpl_max_degree=12, geo_max_degree=12)
     batch = ds.batch(list(range(batch_size)), 0, 2)
     if stage_name == "corr":
         stage = CorrPoseStage()
@@ -53,12 +60,36 @@ def bench_stage(stage_name: str, batch_size: int, n_lat: int, n_lon: int,
     rng = jax.random.key(1)
     state, m = stage.train_step(state, batch, rng)       # compile
     float(m["total_loss"])                               # fence (tunnel-safe)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        rng, sub = jax.random.split(rng)
-        state, m = stage.train_step(state, batch, sub)
-    loss = float(m["total_loss"])                        # forces execution
-    dt = (time.perf_counter() - t0) / iters
+    if scan_steps:
+        # device step time free of per-dispatch link latency: scan
+        # `scan_steps` steps in ONE program (train/scanned.py style)
+        from flax import core as flax_core
+
+        def body(s, k):
+            s2, mm = stage.train_step(s, batch, k)
+            if type(s2.batch_stats) is not type(s.batch_stats):
+                s2 = s2.replace(batch_stats=flax_core.freeze(s2.batch_stats))
+            return s2, mm["total_loss"]
+
+        multi = jax.jit(lambda s, ks: jax.lax.scan(body, s, ks),
+                        donate_argnums=0)
+        import jax.numpy as jnp
+
+        keys = jax.random.split(rng, scan_steps)
+        state, losses = multi(state, keys)
+        float(losses[-1])                                # compile + fence
+        t0 = time.perf_counter()
+        state, losses = multi(state, jax.random.split(jax.random.key(2),
+                                                      scan_steps))
+        loss = float(losses[-1])
+        dt = (time.perf_counter() - t0) / scan_steps
+    else:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            rng, sub = jax.random.split(rng)
+            state, m = stage.train_step(state, batch, sub)
+        loss = float(m["total_loss"])                    # forces execution
+        dt = (time.perf_counter() - t0) / iters
 
     step_fn = stage._steps.get("train") or stage._steps.get(("train", True))
     flops = _flops_of(step_fn, (state, batch, rng)) if step_fn is not None else 0.0
@@ -115,6 +146,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp-scaling", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--scan-steps", type=int, default=0,
+                    help="time N steps fused in one scanned program "
+                         "(device step time free of link latency)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--smoke", action="store_true")
@@ -160,7 +194,8 @@ def main():
     set_edge_bwd(args.edge_bwd)
     for stage_name in ("corr", "deform"):
         row = bench_stage(stage_name, args.batch, iters=iters,
-                          peak_tflops=args.peak_tflops, **shapes)
+                          peak_tflops=args.peak_tflops,
+                          scan_steps=args.scan_steps, **shapes)
         # REQUESTED paths: EdgeMLP's per-layer gates (_fusable/_vmem_tile/
         # _vmem_tile_bwd) may still fall individual layers back to XLA /
         # remat-XLA — compare rows against an --edge-impl xla run before
