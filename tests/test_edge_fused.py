@@ -311,10 +311,16 @@ def test_bwd_zero_rows():
 def test_vmem_tile_bwd_gate():
     from morig_tpu.nn.gcu import _vmem_tile_bwd
 
-    # bench-train shape: must pick a tile (any), not fall back
-    assert _vmem_tile_bwd(2048, 12, 128, 256) is not None
-    # huge table: no tile fits -> remat-XLA fallback
+    # production shapes OOM on hardware (17.64 MB actual at D=12, V=2048,
+    # P=128/128 inside a full train program, 16 MB scoped limit) -> the gate
+    # must route them to the remat-XLA backward
+    assert _vmem_tile_bwd(2048, 12, 128, 256) is None
+    assert _vmem_tile_bwd(2048, 12, 128, 128) is None
     assert _vmem_tile_bwd(16384, 16, 512, 512) is None
+    # small-V / low-D configs fit with margin under the calibrated model
+    assert _vmem_tile_bwd(1024, 8, 128, 128) == 128
+    # tiles must be multiples of 128 (Mosaic last-dim constraint)
+    assert _vmem_tile_bwd(1024, 8, 128, 128, tile_v=64) is None
 
 
 def test_auto_select_edge_impl():
