@@ -54,12 +54,16 @@ def mark_done(d, info):
 
 
 def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=None,
-                batcher=None, chunk=25):
+                batcher=None, chunk=None):
     """Train one stage with best-on-val checkpointing; resume if done.
 
     With `batcher` (a train/scanned.py ScanBatcher) the epoch loop runs as
     chunked device programs (one dispatch per `chunk` epochs) — essential over
-    the high-RTT TPU tunnel where per-batch dispatch costs ~seconds."""
+    the high-RTT TPU tunnel where per-batch dispatch costs ~seconds.  `chunk`
+    defaults to ~72 train steps per dispatch: the tunnel's TPU worker has been
+    observed to die on much longer single dispatches (the 150-step rig chunks
+    of the 24-creature campaign crashed it twice at the same spot), and
+    shorter chunks also give finer epoch-level crash resume."""
     from morig_tpu.train import checkpoint as ckpt
     from morig_tpu.train.scanned import run_epochs_scanned
     from morig_tpu.train.trainer import MetricLogger, run_epochs
@@ -95,6 +99,8 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
     t0 = time.time()
     logger = MetricLogger(d)
     if batcher is not None:
+        if chunk is None:
+            chunk = max(1, min(25, 72 // max(1, batcher.steps_per_epoch)))
         state, best = run_epochs_scanned(
             stage, state, batcher,
             epochs=epochs, checkpoint_dir=d, logger=logger,

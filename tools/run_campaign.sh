@@ -4,7 +4,7 @@
 # re-run resumes where it left off.  Usage: tools/run_campaign.sh [outdir]
 set -u
 DIR="${1:-campaign_out}"
-for attempt in 1 2 3 4; do
+for attempt in 1 2 3 4 5 6 7 8; do
   echo "[run_campaign] attempt $attempt -> $DIR"
   timeout 14400 python tools/campaign.py --dir "$DIR" "${@:2}"
   rc=$?
