@@ -23,7 +23,48 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
+import sys
 import time
+
+_T_START = time.monotonic()
+# Incrementally-updated result; the watchdog prints whatever is here if the
+# deadline fires, so a partial run still records phase-A numbers (VERDICT r3
+# weak #1: BENCH_r03 rc=124 recorded NOTHING).
+_RESULT: dict = {}
+_PRINTED = False
+
+
+def _finalize(rc: int | None = None) -> None:
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    if _RESULT.get("metric"):
+        print(json.dumps(_RESULT), flush=True)
+    if rc is not None:
+        os._exit(rc)
+
+
+def _arm_watchdog(deadline_s: float) -> None:
+    """Print the best-so-far JSON and exit 0 when the deadline fires."""
+    if deadline_s <= 0:
+        return
+
+    def _on_alarm(signum, frame):
+        print(f"  [bench] deadline {deadline_s:.0f}s hit; emitting partial result",
+              file=sys.stderr)
+        _finalize(rc=0)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(max(1, int(deadline_s)))
+
+
+def _remaining(deadline_s: float) -> float:
+    if deadline_s <= 0:
+        return float("inf")
+    return deadline_s - (time.monotonic() - _T_START)
 
 
 def _cost_of(jitted, args) -> dict:
@@ -52,7 +93,13 @@ def main():
                     help="chip peak HBM GB/s for the roofline (v5e = 819)")
     ap.add_argument("--no-buckets", action="store_true",
                     help="skip the per-V-bucket creature throughput phase")
+    ap.add_argument("--deadline", type=float, default=480.0,
+                    help="wall-clock budget (s); the bench ALWAYS prints its "
+                         "JSON line and exits 0 by this time, skipping or "
+                         "truncating optional phases (B2/C) as needed. "
+                         "0 = unlimited (full recording run).")
     args = ap.parse_args()
+    _arm_watchdog(args.deadline)
 
     import jax
 
@@ -160,7 +207,6 @@ def main():
                                            timings=timings, device_cache=dcache)
     dt = (time.perf_counter() - t0) / iters
     meshes_per_sec = Bn / dt
-    import sys
 
     total = sum(timings.values())
     for name, v in sorted(timings.items(), key=lambda kv: -kv[1]):
@@ -191,6 +237,23 @@ def main():
     flops_per_mesh = flops_iter / Bn
     mfu_rig = flops_iter / dt / (args.peak_tflops * 1e12)
 
+    # phase A is the headline metric — record it NOW so the watchdog (or a
+    # driver kill) can never again lose the round's number
+    _RESULT.update({
+        "metric": "rig_predict_throughput",
+        "value": round(meshes_per_sec, 3),
+        "unit": "meshes/sec",
+        "vs_baseline": round(meshes_per_sec / 20.0, 3),
+        "flops_per_mesh": round(flops_per_mesh / 1e9, 3),  # GFLOPs
+        "mfu_rig_pct": round(100 * mfu_rig, 2),
+        "batch": Bn,
+        "verts_padded": PAD,
+        "keyframes": T,
+        "flow_gbps": round(flow_gbps, 1),
+        "flow_hbm_util_pct": round(hbm_util, 1),
+        "phase_ms": {k: round(v / iters * 1000, 1) for k, v in timings.items()},
+    })
+
     # ---- phase B: tracking ----
     seq = track_seq
     track_rig = sk.Rig(names=list(cap.names), pos=cap.joints.astype(float),
@@ -205,29 +268,43 @@ def main():
     frames_per_sec = frames / dt_track
     track_flops = _flops_of(run_scanned.jitted, run_scanned.last_args)
     mfu_track = track_flops / dt_track / (args.peak_tflops * 1e12)
+    _RESULT.update({
+        "tracked_frames_per_sec": round(frames_per_sec, 2),
+        "mfu_track_pct": round(100 * mfu_track, 2),
+    })
 
     # ---- phase B2: BATCHED tracking (whole test set at once) ----
-    from morig_tpu.pipelines.tracking import BatchedTracker
+    # optional: a fresh scanned program (~90s cold lowering over the tunnel)
+    if _remaining(args.deadline) > 150:
+        from morig_tpu.pipelines.tracking import BatchedTracker
 
-    NB = 2 if args.smoke else 8
-    btr = BatchedTracker(deform, predictor.deform_state,
-                         [track_rig] * NB, [track_entry] * NB, max_joints=8)
-    run_b = btr.make_scanned()
-    vtx0_b = np.stack([B.pad_to(cap.verts, PAD)] * NB)
-    pts_b = np.stack([seq["pts_traj"]] * NB)
-    traj_b, _, _ = run_b(vtx0_b, pts_b)                        # compile
-    t0 = time.perf_counter()
-    traj_b, _, _ = run_b(vtx0_b, pts_b)
-    dt_btrack = time.perf_counter() - t0
-    agg_fps = NB * traj_b.shape[2] / dt_btrack
-    btrack_flops = _flops_of(run_b.jitted, run_b.last_args)
-    mfu_btrack = btrack_flops / dt_btrack / (args.peak_tflops * 1e12)
+        NB = 2 if args.smoke else 8
+        btr = BatchedTracker(deform, predictor.deform_state,
+                             [track_rig] * NB, [track_entry] * NB, max_joints=8)
+        run_b = btr.make_scanned()
+        vtx0_b = np.stack([B.pad_to(cap.verts, PAD)] * NB)
+        pts_b = np.stack([seq["pts_traj"]] * NB)
+        traj_b, _, _ = run_b(vtx0_b, pts_b)                        # compile
+        t0 = time.perf_counter()
+        traj_b, _, _ = run_b(vtx0_b, pts_b)
+        dt_btrack = time.perf_counter() - t0
+        agg_fps = NB * traj_b.shape[2] / dt_btrack
+        btrack_flops = _flops_of(run_b.jitted, run_b.last_args)
+        mfu_btrack = btrack_flops / dt_btrack / (args.peak_tflops * 1e12)
+        _RESULT.update({
+            "tracked_frames_per_sec_batched": round(agg_fps, 2),
+            "tracked_batch": NB,
+            "mfu_track_batched_pct": round(100 * mfu_btrack, 2),
+        })
+    else:
+        print("  [bench] skipping phase B2 (deadline)", file=sys.stderr)
 
     # ---- phase C: realistic-size creature batches per V bucket ----
     # ModelsResources meshes span ~1k-5k verts; the capsule fixture exercises
     # only the 1536 pad.  Branching creatures at 1024/2048/4096 buckets give
     # per-bucket full-DAG throughput (VERDICT r2 weak #2).
     bucket_tp = {}
+    bucket_est = 300.0       # cold-cache cost of one bucket's program set
     if not args.smoke and not args.no_buckets:
         from morig_tpu.data.creature import make_creature_sequence
         from morig_tpu.geometry.geodesic import surface_geodesic
@@ -237,6 +314,11 @@ def main():
 
         for tv, res, bucket in ((900, 40, 1024), (1900, 48, 2048),
                                 (3800, 62, 4096)):
+            if _remaining(args.deadline) < bucket_est:
+                print(f"  [bench] skipping bucket {bucket}+ (deadline)",
+                      file=sys.stderr)
+                break
+            t_bucket = time.monotonic()
             cseq = make_creature_sequence(seed=7, num_frames=T + 1,
                                           num_points=1024, target_verts=tv,
                                           res=res)
@@ -275,30 +357,14 @@ def main():
                 pk.predict_rig_batch([centry] * NBk, cpts, voxes=[cvox] * NBk,
                                      surf_geos=[csurf] * NBk, device_cache=ck)
             bucket_tp[str(bucket)] = round(NBk * n_it / (time.perf_counter() - t0), 2)
+            _RESULT["bucket_meshes_per_sec"] = dict(bucket_tp)
+            # next bucket is bigger; assume up to 1.5x this one's wall cost
+            bucket_est = 1.5 * (time.monotonic() - t_bucket)
         gcu.set_edge_tile(TILE)
         gcu.set_edge_impl(chosen)                             # restore phase-A choice
 
-    result = {
-        "metric": "rig_predict_throughput",
-        "value": round(meshes_per_sec, 3),
-        "unit": "meshes/sec",
-        "vs_baseline": round(meshes_per_sec / 20.0, 3),
-        "tracked_frames_per_sec": round(frames_per_sec, 2),
-        "tracked_frames_per_sec_batched": round(agg_fps, 2),
-        "tracked_batch": NB,
-        "flops_per_mesh": round(flops_per_mesh / 1e9, 3),  # GFLOPs
-        "mfu_rig_pct": round(100 * mfu_rig, 2),
-        "mfu_track_pct": round(100 * mfu_track, 2),
-        "mfu_track_batched_pct": round(100 * mfu_btrack, 2),
-        "batch": Bn,
-        "verts_padded": PAD,
-        "keyframes": T,
-        "flow_gbps": round(flow_gbps, 1),
-        "flow_hbm_util_pct": round(hbm_util, 1),
-    }
-    if bucket_tp:
-        result["bucket_meshes_per_sec"] = bucket_tp
-    print(json.dumps(result))
+    signal.alarm(0)
+    _finalize()
 
 
 if __name__ == "__main__":
