@@ -33,6 +33,7 @@ epoch-triggered branch enabling (train_corr_pose.py:224-226) still works.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable, Optional
 
 import jax
@@ -322,15 +323,25 @@ def run_epochs_scanned(
         eids = jnp.arange(e0, e1, dtype=jnp.int32)
         scheds_dev = jax.tree.map(jnp.asarray, scheds)
 
+        t_chunk0 = time.time()
         out = get_chunk_fn(C)(state, best_params, best_bstats, lowest,
                               best_epoch, scheds_dev, keys, eids)
         state, best_params, best_bstats, lowest, best_epoch, (tlog, vlog) = out
 
-        tlog = jax.tree.map(np.asarray, tlog)
+        tlog = jax.tree.map(np.asarray, tlog)   # blocks: chunk truly done here
         vlog = jax.tree.map(np.asarray, vlog)
+        # epochs inside a chunk are homogeneous scan iterations, so the
+        # per-epoch completion time is the chunk wall time linearly split —
+        # measured at the fetch, not at flush (metrics are usable for
+        # throughput analysis; ADVICE r3)
+        t_chunk1 = time.time()
+        epoch_s = (t_chunk1 - t_chunk0) / C
         for j, e in enumerate(range(e0, e1)):
-            logger.log(e + 1, "train", {k: float(v[j]) for k, v in tlog.items()})
-            logger.log(e + 1, "val", {k: float(v[j]) for k, v in vlog.items()})
+            t_e = t_chunk0 + (j + 1) * epoch_s
+            logger.log(e + 1, "train", {k: float(v[j]) for k, v in tlog.items()},
+                       time_s=t_e, epoch_wall_s=round(epoch_s, 4))
+            logger.log(e + 1, "val", {k: float(v[j]) for k, v in vlog.items()},
+                       time_s=t_e, epoch_wall_s=round(epoch_s, 4))
 
         low_f = float(lowest)
         if checkpoint_dir:

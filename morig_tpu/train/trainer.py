@@ -114,8 +114,11 @@ class MetricLogger:
         else:
             self.f = None
 
-    def log(self, epoch: int, split: str, metrics: dict):
-        record = {"epoch": epoch, "split": split, "time": time.time(), **metrics}
+    def log(self, epoch: int, split: str, metrics: dict, time_s: float | None = None,
+            **extra_fields):
+        record = {"epoch": epoch, "split": split,
+                  "time": time.time() if time_s is None else time_s,
+                  **extra_fields, **metrics}
         line = " ".join(f"{split}_{k}: {v:.6f}." for k, v in metrics.items())
         print(f"Epoch{epoch}. {line}")
         if self.f:
