@@ -235,10 +235,17 @@ def run_epochs_scanned(
     start_epoch: int = 0,
     init_lowest: float = float("inf"),
     chunk_epochs: int = 25,
+    early_stop_patience: Optional[int] = None,
 ):
     """Drop-in replacement for `trainer.run_epochs` (minus test_batches):
     same returns (final state, best_epoch), same logs, same checkpoints —
-    one device dispatch per `chunk_epochs` epochs."""
+    one device dispatch per `chunk_epochs` epochs.
+
+    early_stop_patience: stop (at a chunk boundary) once the best-on-val
+    epoch is more than this many epochs in the past.  Campaign v2's
+    deform_seq stage converged by epoch ~10 and spent 129 further epochs
+    inside the val-noise band; patience bounds that waste while the
+    chunk granularity keeps the check nearly free."""
     from morig_tpu.train import checkpoint as ckpt
 
     logger = logger or trainer.MetricLogger(None)
@@ -355,5 +362,12 @@ def run_epochs_scanned(
             ckpt.save_checkpoint(state, checkpoint_dir, is_best=False,
                                  extra={"epoch": e1, "lowest_loss": low_f})
         prev_lowest = min(prev_lowest, low_f)
+
+        if (early_stop_patience is not None
+                and e1 - (int(best_epoch) + 1) >= early_stop_patience):
+            print(f"early stop at epoch {e1}: best epoch "
+                  f"{int(best_epoch) + 1} is {e1 - int(best_epoch) - 1} "
+                  f"epochs old (patience {early_stop_patience})")
+            break
 
     return state, int(best_epoch)

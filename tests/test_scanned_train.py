@@ -34,7 +34,7 @@ def _read_log(d):
             r = json.loads(line)
             out[(r["epoch"], r["split"])] = {
                 k: v for k, v in r.items()
-                if k not in ("epoch", "split", "time")
+                if k not in ("epoch", "split", "time", "epoch_wall_s")
             }
     return out
 
@@ -156,3 +156,27 @@ def test_chunk_splits_at_vis_branch_boundary(tmp_path):
     assert _chunk_ranges(0, 6, 10, None) == [(0, 6)]
     assert _chunk_ranges(3, 6, 2, None) == [(3, 5), (5, 6)]
     assert _chunk_ranges(0, 6, 2, 0) == [(0, 2), (2, 4), (4, 6)]
+
+
+@slow
+def test_early_stop_patience(tmp_path):
+    """With patience, training halts at a chunk boundary once best-on-val is
+    older than the patience window; the best checkpoint is still on disk."""
+    sample = capsule_skel_dataset(num_models=2, max_joints=8, **KW)
+    b = const_scan_batcher(sample)
+    stage = BoneStage()
+    state = stage.init_state(jax.random.key(0), sample)
+    d = str(tmp_path / "es")
+    logger = trainer.MetricLogger(d)
+    # init_lowest=-inf: no epoch can ever improve, so best stays -1 and the
+    # patience check fires after the first chunk
+    _, best = run_epochs_scanned(
+        stage, state, b, epochs=20, checkpoint_dir=d, logger=logger,
+        rng=jax.random.key(1), rng_np=np.random.default_rng(0),
+        chunk_epochs=4, init_lowest=float("-inf"), early_stop_patience=3,
+    )
+    log = _read_log(d)
+    ran = {e for e, s in log}
+    assert max(ran) == 4, f"expected stop after first 4-epoch chunk, got {ran}"
+    assert best == -1
+    assert os.path.exists(os.path.join(d, "checkpoint.msgpack"))

@@ -54,7 +54,7 @@ def mark_done(d, info):
 
 
 def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=None,
-                batcher=None, chunk=None):
+                batcher=None, chunk=None, patience=None):
     """Train one stage with best-on-val checkpointing; resume if done.
 
     With `batcher` (a train/scanned.py ScanBatcher) the epoch loop runs as
@@ -106,7 +106,7 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
             epochs=epochs, checkpoint_dir=d, logger=logger,
             rng=jax.random.key(seed + 1), rng_np=rng_np,
             start_epoch=start_epoch, init_lowest=init_lowest,
-            chunk_epochs=chunk,
+            chunk_epochs=chunk, early_stop_patience=patience,
         )
     else:
         state, best = run_epochs(
@@ -147,6 +147,7 @@ def main():
         train_seeds, val_seeds, test_seeds = [0, 1], [100], [200]
         n_pts, tv = 256, 700
         E = dict(corr=3, deform=3, deform_seq=3, rig=3, skin=3, skel=3)
+        P = dict.fromkeys(E, None)
         bs = 2
         seq_frames = 5
     else:
@@ -160,6 +161,11 @@ def main():
         E = dict(corr=int(200 * s), deform=int(150 * s),
                  deform_seq=int(150 * s), rig=int(300 * s),
                  skin=int(300 * s), skel=int(240 * s))
+        # convergence-measured patience (campaign v2): deform stages sit in
+        # the val-noise band within ~20 epochs (deform_seq best@22, flat
+        # after); rig/skin/skel kept improving to their caps in v1, so get
+        # looser bounds.  Best-on-val checkpointing makes patience lossless.
+        P = dict(corr=80, deform=60, deform_seq=60, rig=120, skin=120, skel=120)
         bs = args.batch_size
         seq_frames = 11
 
@@ -199,7 +205,7 @@ def main():
         pose_scan_batcher(pose_val, bs, "modelsresource", False),
     )
     corr_state = train_stage(corr, "corr", args.dir, corr_batches, E["corr"],
-                             batcher=pose_b)
+                             batcher=pose_b, patience=P["corr"])
 
     # ---- stage 2: DeformNet (frozen extractor init'd from corr) -----------
     deform = DeformPoseStage()
@@ -216,7 +222,7 @@ def main():
     deform_was_done = stage_done(os.path.join(args.dir, "deform"))
     deform_state = train_stage(deform, "deform", args.dir, deform_batches,
                                E["deform"], resume_state=deform_state0,
-                               batcher=pose_b)
+                               batcher=pose_b, patience=P["deform"])
     if not deform_was_done:
         # deform (re)trained this run: any cached flow dump is stale
         stale = os.path.join(args.dir, "pred_flows.npz")
@@ -250,7 +256,8 @@ def main():
         dseq0, corr_state.params, corr_state.batch_stats)
     deform_seq_state = train_stage(deform_seq, "deform_seq", args.dir,
                                    seq_batches, E["deform_seq"],
-                                   resume_state=dseq0, batcher=seq_b)
+                                   resume_state=dseq0, batcher=seq_b,
+                                   patience=P["deform_seq"])
 
     # ---- pred_flow dumps for the rig stages (README.md:84-85 handoff) -----
     def pred_flow_for(ds):
@@ -312,14 +319,14 @@ def main():
 
     rig_b = rig_scan_batcher(rig_tr, bs, val_ds=rig_val)
     joint_state = train_stage(joint, "joints", args.dir, rig_batches, E["rig"],
-                              batcher=rig_b)
+                              batcher=rig_b, patience=P["rig"])
     mask_state = train_stage(mask, "mask", args.dir, rig_batches, E["rig"],
-                             batcher=rig_b)
+                             batcher=rig_b, patience=P["rig"])
 
     # ---- stage 5: skin ----------------------------------------------------
     skin = SkinStage(num_embed_sample=nes)
     skin_state = train_stage(skin, "skin", args.dir, rig_batches, E["skin"],
-                             batcher=rig_b)
+                             batcher=rig_b, patience=P["skin"])
 
     # ---- stage 6: bone/root (diverse joint sets: GT + perturbed) ----------
     skel_tr = creature_skel_dataset(num_models=len(train_seeds), seed=train_seeds[0],
@@ -334,9 +341,9 @@ def main():
 
     skel_b = const_scan_batcher(skel_tr, skel_val)
     bone_state = train_stage(bone, "bone", args.dir, skel_batches, E["skel"],
-                             batcher=skel_b)
+                             batcher=skel_b, patience=P["skel"])
     root_state = train_stage(root, "root", args.dir, skel_batches, E["skel"],
-                             batcher=skel_b)
+                             batcher=skel_b, patience=P["skel"])
 
     # ---- held-out evaluation ---------------------------------------------
     from morig_tpu.eval.metrics import (
