@@ -118,9 +118,21 @@ class CorrNet(nn.Module):
         train: bool = False,
         train_vismask: bool = True,
         rng: Optional[jax.Array] = None,
+        vtx_f: Optional[jax.Array] = None,
+        mesh_only: bool = False,
     ):
+        """`mesh_only=True` returns just the mesh embedding; `vtx_f` skips the
+        mesh branch and reuses a precomputed embedding.  The mesh embedding
+        depends only on the mesh, so a (B*T)-frame batch over B distinct
+        meshes can compute it B times instead of B*T (the flow program's
+        keyframe axis repeats each mesh T times unchanged)."""
+        if mesh_only:
+            return MeshEncoder(self.output_feature, axis_name=self.axis_name,
+                               name="mesh_enc")(mesh, train)
         tau = self.param("temperature", lambda k: jnp.asarray(self.tau_init, jnp.float32))
-        vtx_f = MeshEncoder(self.output_feature, axis_name=self.axis_name, name="mesh_enc")(mesh, train)
+        if vtx_f is None:
+            vtx_f = MeshEncoder(self.output_feature, axis_name=self.axis_name,
+                                name="mesh_enc")(mesh, train)
         pts_f = PointEncoder(self.output_feature, self.num_points, axis_name=self.axis_name, name="pts_enc")(
             points, train, rng
         )

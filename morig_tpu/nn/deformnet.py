@@ -75,11 +75,18 @@ class DeformNet(nn.Module):
         points: PointBatch,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        vtx_f: Optional[jax.Array] = None,
+        mesh_only: bool = False,
     ):
-        vtx_f, pts_f, vis_logits, tau = CorrNet(
+        extractor = CorrNet(
             output_feature=self.output_feature, tau_init=self.tau_init,
             axis_name=self.axis_name, name="corr_extractor",
-        )(mesh, points, train, True, rng)
+        )
+        if mesh_only:
+            # per-mesh embedding alone (reused across the keyframe axis)
+            return extractor(mesh, points, train, True, rng, mesh_only=True)
+        vtx_f, pts_f, vis_logits, tau = extractor(
+            mesh, points, train, True, rng, vtx_f=vtx_f)
         vis = jax.nn.sigmoid(vis_logits[..., 0])                     # (B,V)
         vis = minmax_normalize(vis, mesh.vert_mask)
 

@@ -236,9 +236,16 @@ class RigPredictor:
 
         def fn(dparams, dstats, jparams, jstats, mparams, mstats,
                mesh_bt, points, mesh, grid, tr, sc):
+            dvars = {"params": dparams, "batch_stats": dstats}
+            # mesh embedding once per DISTINCT mesh (B), broadcast over the
+            # T keyframes — mesh_bt repeats each entry T times consecutively,
+            # and the CorrNet mesh branch is point-cloud-independent
+            vtx_f_b = self.deform_stage.model.apply(
+                dvars, mesh, None, False, None, mesh_only=True)   # (B, V, C)
+            vtx_f_bt = jnp.repeat(vtx_f_b, T, axis=0)             # (B*T, V, C)
             flow_bt = self.deform_stage.model.apply(
-                {"params": dparams, "batch_stats": dstats},
-                mesh_bt, points, False, None)[0]               # (B*T, V, 3)
+                dvars, mesh_bt, points, False, None,
+                vtx_f=vtx_f_bt)[0]                             # (B*T, V, 3)
             V = flow_bt.shape[1]
             flow = jnp.transpose(
                 jnp.reshape(flow_bt, (Bn, T, V, 3)), (0, 2, 1, 3)

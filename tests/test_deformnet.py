@@ -68,3 +68,37 @@ def test_init_extractor_transfer():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_mesh_embed_dedup_matches_full_forward():
+    """The flow program computes the CorrNet mesh embedding once per DISTINCT
+    mesh and broadcasts it over the keyframe axis (rig_predict.py
+    _flow_joints_program); the result must equal the plain per-frame forward."""
+    ds = small_dataset()
+    T = 2
+    b0 = ds.batch([0, 1], 0, 1)
+    stage = DeformPoseStage()
+    state = stage.init_state(jax.random.key(0), b0)
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    from morig_tpu.core import batch as B
+
+    entries = [ds._mesh_cache[i] for i in (0, 1)]
+    mesh_b = B.stack_meshes(entries)
+    mesh_bt = B.stack_meshes([e for e in entries for _ in range(T)])
+    pts = np.concatenate(
+        [np.transpose(m.pts_traj[:, 1:T + 1, :], (1, 0, 2)) for m in ds.models], 0)
+    points = B.PointBatch(jnp.asarray(pts, jnp.float32),
+                          jnp.ones(pts.shape[:2], bool))
+
+    @jax.jit
+    def both(mesh_b, mesh_bt, points):
+        ref = stage.model.apply(vars_, mesh_bt, points, False, None)[0]
+        vtx_f_b = stage.model.apply(vars_, mesh_b, None, False, None,
+                                    mesh_only=True)
+        new = stage.model.apply(vars_, mesh_bt, points, False, None,
+                                vtx_f=jnp.repeat(vtx_f_b, T, axis=0))[0]
+        return ref, new
+
+    ref, new = both(mesh_b, mesh_bt, points)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                               rtol=1e-5, atol=1e-5)
