@@ -63,23 +63,28 @@ class TemporalAttn(nn.Module):
 
 class GCNRig(nn.Module):
     """3×GCUMotion + global max + transform head — the shared motion/task
-    trunk (models/rignet.py:49-67)."""
+    trunk (models/rignet.py:49-67).  `width_scale` shrinks every hidden width
+    proportionally (reference widths at 1.0) — used by the CPU-feasible
+    trained-torch head-to-head harness (tools/torch_headtohead.py)."""
 
     chn_output: int
+    width_scale: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, pos, feature, mesh: MeshBatch, train: bool = False):
         an = self.axis_name
-        x1 = GCUMotion(64, dim_pos_feat=16, axis_name=an, name="gcu_1")(pos, feature, mesh, train)
-        x2 = GCUMotion(256, dim_pos_feat=16, axis_name=an, name="gcu_2")(pos, x1, mesh, train)
-        x3 = GCUMotion(512, dim_pos_feat=16, axis_name=an, name="gcu_3")(pos, x2, mesh, train)
+        s = self.width_scale
+        w = lambda c: max(8, int(c * s))
+        x1 = GCUMotion(w(64), dim_pos_feat=16, axis_name=an, name="gcu_1")(pos, feature, mesh, train)
+        x2 = GCUMotion(w(256), dim_pos_feat=16, axis_name=an, name="gcu_2")(pos, x1, mesh, train)
+        x3 = GCUMotion(w(512), dim_pos_feat=16, axis_name=an, name="gcu_3")(pos, x2, mesh, train)
         skips = jnp.concatenate([x1, x2, x3], axis=-1)
-        x4 = MLP([1024], axis_name=an, name="mlp_glb")(skips, mesh.vert_mask, train)
+        x4 = MLP([w(1024)], axis_name=an, name="mlp_glb")(skips, mesh.vert_mask, train)
         glb = nbk.masked_max(x4, mesh.vert_mask, axis=1)
         glb = jnp.broadcast_to(glb[:, None, :], x4.shape[:2] + (glb.shape[-1],))
         x5 = jnp.concatenate([glb, mesh.verts, feature, skips], axis=-1)
-        return MLPHead([1024, 256], self.chn_output, zero_init=True, axis_name=an,
+        return MLPHead([w(1024), w(256)], self.chn_output, zero_init=True, axis_name=an,
                        name="mlp_transform")(x5, mesh.vert_mask, train)
 
 
@@ -91,11 +96,13 @@ class MotionAggregator(nn.Module):
     motion_dim: int = 32
     aggr_method: str = "attn"
     attn_output: int = 64
+    width_scale: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_flow: jax.Array, mesh: MeshBatch, train: bool = False):
-        motion_net = GCNRig(self.motion_dim, axis_name=self.axis_name, name="motionNet")
+        motion_net = GCNRig(self.motion_dim, width_scale=self.width_scale,
+                            axis_name=self.axis_name, name="motionNet")
         feats = []
         for t in range(self.num_keyframes):
             flow_t = jax.lax.dynamic_slice_in_dim(input_flow, 3 * t, 3, axis=-1)
@@ -103,8 +110,10 @@ class MotionAggregator(nn.Module):
             feats.append(l2_normalize(m))
         motion_all = jnp.stack(feats, axis=2)                       # (B,V,T,M)
         if self.aggr_method == "attn":
+            s = self.width_scale
             aggr = TemporalAttn(
-                num_heads=2, hidden_size=64, dim_feedforward=512,
+                num_heads=2, hidden_size=max(8, int(64 * s)),
+                dim_feedforward=max(8, int(512 * s)),
                 output_size=self.attn_output, axis_name=self.axis_name, name="aggregator",
             )(motion_all, mesh.vert_mask, train)
         elif self.aggr_method == "mean":
@@ -123,15 +132,17 @@ class JointNetMotion(nn.Module):
     chn_output: int = 3
     aggr_method: str = "attn"
     motion_dim: int = 32
+    width_scale: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_flow, mesh: MeshBatch, train: bool = False):
         motion_all, motion_aggr = MotionAggregator(
             self.num_keyframes, self.motion_dim, self.aggr_method,
-            axis_name=self.axis_name, name="motion",
+            width_scale=self.width_scale, axis_name=self.axis_name, name="motion",
         )(input_flow, mesh, train)
-        shift = GCNRig(self.chn_output, axis_name=self.axis_name, name="jointnet")(
+        shift = GCNRig(self.chn_output, width_scale=self.width_scale,
+                       axis_name=self.axis_name, name="jointnet")(
             mesh.verts, motion_aggr, mesh, train
         )
         return motion_all, motion_aggr, shift
@@ -144,15 +155,17 @@ class MaskNetMotion(nn.Module):
     chn_output: int = 1
     aggr_method: str = "attn"
     motion_dim: int = 32
+    width_scale: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_flow, mesh: MeshBatch, train: bool = False):
         motion_all, motion_aggr = MotionAggregator(
             self.num_keyframes, self.motion_dim, self.aggr_method,
-            axis_name=self.axis_name, name="motion",
+            width_scale=self.width_scale, axis_name=self.axis_name, name="motion",
         )(input_flow, mesh, train)
-        logits = GCNRig(self.chn_output, axis_name=self.axis_name, name="masknet")(
+        logits = GCNRig(self.chn_output, width_scale=self.width_scale,
+                        axis_name=self.axis_name, name="masknet")(
             mesh.verts, motion_aggr, mesh, train
         )
         return motion_all, motion_aggr, logits
@@ -179,21 +192,23 @@ class SkinNetInner(nn.Module):
     nearest_bone: int = 5
     use_Dg: bool = False
     use_Lf: bool = False
+    width_scale: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, skin_input, motion, mesh: MeshBatch, train: bool = False):
         an = self.axis_name
+        w = lambda c: max(8, int(c * self.width_scale))
         samples = slice_skin_descriptor(skin_input, self.nearest_bone, self.use_Dg, self.use_Lf)
         raw = jnp.concatenate([mesh.verts, samples], axis=-1)
-        x1 = GCUMotion(256, dim_pos_feat=64, axis_name=an, name="gcu1")(raw, motion, mesh, train)
-        xg = MLP([512, 1024], axis_name=an, name="multi_layer_transform2")(x1, mesh.vert_mask, train)
+        x1 = GCUMotion(w(256), dim_pos_feat=64, axis_name=an, name="gcu1")(raw, motion, mesh, train)
+        xg = MLP([w(512), w(1024)], axis_name=an, name="multi_layer_transform2")(x1, mesh.vert_mask, train)
         xg = nbk.masked_max(xg, mesh.vert_mask, axis=1)
-        x2 = GCUMotion(256, dim_pos_feat=64, axis_name=an, name="gcu2")(raw, x1, mesh, train)
-        x3 = GCUMotion(256, dim_pos_feat=64, axis_name=an, name="gcu3")(raw, x2, mesh, train)
+        x2 = GCUMotion(w(256), dim_pos_feat=64, axis_name=an, name="gcu2")(raw, x1, mesh, train)
+        x3 = GCUMotion(w(256), dim_pos_feat=64, axis_name=an, name="gcu3")(raw, x2, mesh, train)
         xg = jnp.broadcast_to(xg[:, None, :], x3.shape[:2] + (xg.shape[-1],))
         x4 = jnp.concatenate([x3, xg], axis=-1)
-        return MLPHead([1024, 512], self.nearest_bone, zero_init=True, axis_name=an,
+        return MLPHead([w(1024), w(512)], self.nearest_bone, zero_init=True, axis_name=an,
                        name="cls_branch")(x4, mesh.vert_mask, train)
 
 
@@ -206,16 +221,19 @@ class SkinMotion(nn.Module):
     use_Lf: bool = False
     num_keyframes: int = 5
     motion_dim: int = 32
+    width_scale: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, skin_input, input_flow, mesh: MeshBatch, train: bool = False):
         motion_all, motion_aggr = MotionAggregator(
             self.num_keyframes, self.motion_dim, "attn",
-            attn_output=self.motion_dim, axis_name=self.axis_name, name="motion",
+            attn_output=self.motion_dim, width_scale=self.width_scale,
+            axis_name=self.axis_name, name="motion",
         )(input_flow, mesh, train)
         logits = SkinNetInner(
             self.nearest_bone, self.use_Dg, self.use_Lf,
+            width_scale=self.width_scale,
             axis_name=self.axis_name, name="skinNet",
         )(skin_input, motion_aggr, mesh, train)
         return motion_all, motion_aggr, logits

@@ -264,7 +264,8 @@ class RigStage:
     training, predicted at eval (train_rig.py:147-151,210)."""
 
     def __init__(self, cfg: Config = DEFAULT_CONFIG, arch: str = "jointnet",
-                 num_embed_sample: int = 512, axis_name: Optional[str] = None):
+                 num_embed_sample: int = 512, width_scale: float = 1.0,
+                 axis_name: Optional[str] = None):
         assert arch in ("jointnet", "masknet")
         self.cfg = cfg
         self.arch = arch
@@ -274,6 +275,7 @@ class RigStage:
             num_keyframes=cfg.model.num_keyframes,
             aggr_method=cfg.model.aggr_method,
             motion_dim=cfg.model.motion_dim,
+            width_scale=width_scale,
             axis_name=axis_name,
         )
         self._steps: dict = {}
@@ -382,7 +384,7 @@ class SkinStage:
     losses; GT/pred flow 50/50 in training."""
 
     def __init__(self, cfg: Config = DEFAULT_CONFIG, num_embed_sample: int = 512,
-                 axis_name: Optional[str] = None):
+                 width_scale: float = 1.0, axis_name: Optional[str] = None):
         self.cfg = cfg
         self.num_embed_sample = num_embed_sample
         self.model = SkinMotion(
@@ -390,6 +392,7 @@ class SkinStage:
             use_Dg=cfg.model.use_Dg, use_Lf=cfg.model.use_Lf,
             num_keyframes=cfg.model.num_keyframes,
             motion_dim=cfg.model.motion_dim,
+            width_scale=width_scale,
             axis_name=axis_name,
         )
         self._steps: dict = {}

@@ -158,13 +158,20 @@ def main():
         # rig/skin/skel were still improving at the round-3 v1 caps (best
         # epoch == last); corr overfit its 12-creature set by epoch ~70, so
         # more DATA (--train-creatures) is its lever, not more epochs.
-        E = dict(corr=int(200 * s), deform=int(150 * s),
+        E = dict(corr=int(200 * s), deform=int(220 * s),
                  deform_seq=int(150 * s), rig=int(300 * s),
                  skin=int(300 * s), skel=int(240 * s))
-        # convergence-measured patience (campaign v2): deform stages sit in
-        # the val-noise band within ~20 epochs (deform_seq best@22, flat
-        # after); rig/skin/skel kept improving to their caps in v1, so get
-        # looser bounds.  Best-on-val checkpointing makes patience lossless.
+        # convergence-measured patience (campaign v2 metrics.jsonl):
+        #  * deform_seq best@22 is CONVERGENCE, not failure — sequential
+        #    frame-to-frame deltas are tiny and val loss reaches 0.0072 by
+        #    e22, then sits in a 0.0072-0.0078 noise band through e150
+        #    (VERDICT r3 weak #3 investigated); patience=60 reclaims the
+        #    ~130 wasted epochs.
+        #  * deform (discrete keyframes) was still improving at its 150
+        #    cap (best@150, 0.0185) -> cap raised to 220.
+        #  * corr best@133/200 with val flat ~10 after: patience 80.
+        #  * rig/skin/skel still creeping at their caps (joints best@297):
+        #    loose 120.
         P = dict(corr=80, deform=60, deform_seq=60, rig=120, skin=120, skel=120)
         bs = args.batch_size
         seq_frames = 11

@@ -1,5 +1,7 @@
 """Per-op device profile of the DeformNet flow program at bench shapes."""
-import glob, gzip, json, collections, os
+import glob, gzip, json, collections, os, sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 
 from morig_tpu.core import batch as B
@@ -25,8 +27,13 @@ local = all(check_neighbor_locality(np.asarray(e[k])[None], tile_v=128)
 gcu.set_edge_tile(128); gcu.set_edge_impl("windowed" if local else "fused")
 print("impl", gcu.get_edge_impl(), "local", local)
 
+from morig_tpu.core.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 dn = DeformNet()
-dvars = dn.init(jax.random.key(0), mesh, points, False, None)
+# eager init on the tunneled backend costs one RTT per op — always jit
+dvars = jax.jit(lambda k, m, p: dn.init(k, m, p, False, None))(
+    jax.random.key(0), mesh, points)
 f = jax.jit(lambda p, m, pt: dn.apply({"params": p}, m, pt, False, None)[0])
 out = f(dvars["params"], mesh, points); print("warm", float(out.sum()))
 
