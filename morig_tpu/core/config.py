@@ -81,6 +81,11 @@ class JointExtractConfig:
     # recall 0.37 at cap=1024 vs 0.9+ exact on 19-22-joint creatures) — only
     # set it for throughput experiments on low-joint-count shapes.
     cluster_fetch_cap: int = 0
+    # Bandwidth-estimate row subsample (0 = every point, sklearn-exact).  The
+    # statistic is a mean over points of the kth-NN distance; a strided row
+    # subset estimates the same mean with full-candidate-set order statistics
+    # per row, cutting the (N,N) top-k (~78 ms/iter at B=32) ~3x.
+    bandwidth_sample_rows: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,18 +22,33 @@ import numpy as np
 from morig_tpu.kernels.neighbors import pairwise_sqdist
 
 
-@partial(jax.jit, static_argnames=("quantile",))
+@partial(jax.jit, static_argnames=("quantile", "sample_rows"))
 def estimate_bandwidth(pts: jax.Array, mask: jax.Array | None = None,
-                       quantile: float = 0.04) -> jax.Array:
+                       quantile: float = 0.04,
+                       sample_rows: int = 0) -> jax.Array:
     """sklearn-compatible quantile bandwidth: mean over points of the distance
     to their ceil(N*q)-th nearest neighbor (self included), computed over
-    valid points only."""
+    valid points only.
+
+    `sample_rows > 0` estimates the mean from a strided row subset — the
+    statistic is a MEAN over points of each point's kth-NN distance, so
+    row-sampling is an unbiased estimator of the same quantity (the neighbor
+    candidate set stays the FULL point set, so the order statistic itself is
+    exact per sampled row).  The pipeline uses this (the full (N,N) top-k is
+    ~78 ms/iter at B=32, N=3072 on v5e); sklearn-exact tests keep 0."""
     n = pts.shape[0]
     if mask is None:
         mask = jnp.ones(n, bool)
     n_valid = jnp.sum(mask)
     knn = jnp.maximum(1, (n_valid * quantile).astype(jnp.int32))
-    d2 = pairwise_sqdist(pts, pts)
+    if sample_rows and sample_rows < n:
+        stride = max(n // sample_rows, 1)
+        rows = jax.lax.slice(pts, (0, 0), (n, 3), (stride, 1))
+        rmask = jax.lax.slice(mask, (0,), (n,), (stride,))
+    else:
+        rows, rmask = pts, mask
+    nr = rows.shape[0]
+    d2 = pairwise_sqdist(rows, pts)
     d2 = jnp.where(mask[None, :], d2, 1e30)
     # distance to the knn-th neighbor: knn <= k_max (the all-valid count), so a
     # static top-k of the k_max smallest per row replaces a full-row sort.
@@ -45,11 +60,11 @@ def estimate_bandwidth(pts: jax.Array, mask: jax.Array | None = None,
     k_max = max(1, int(n * quantile))
     from morig_tpu.kernels.neighbors import large_topk
 
-    neg_topk, _ = large_topk(-d2, k_max)          # (n, k_max)
+    neg_topk, _ = large_topk(-d2, k_max)          # (nr, k_max)
     d_small = -neg_topk
     kth = jnp.sqrt(jnp.maximum(jnp.take_along_axis(
-        d_small, jnp.full((n, 1), knn - 1), axis=1)[:, 0], 0.0))
-    m = mask.astype(kth.dtype)
+        d_small, jnp.full((nr, 1), knn - 1), axis=1)[:, 0], 0.0))
+    m = rmask.astype(kth.dtype)
     return jnp.sum(kth * m) / jnp.maximum(m.sum(), 1.0)
 
 
@@ -174,15 +189,16 @@ def flip_joints(joints: np.ndarray, tol: float = 2e-2,
     return out, side
 
 
-@partial(jax.jit, static_argnames=("quantile", "num_iter"))
+@partial(jax.jit, static_argnames=("quantile", "num_iter", "sample_rows"))
 def _cluster_static(pts: jax.Array, attn: jax.Array, mask: jax.Array,
-                    quantile: float, num_iter: int):
+                    quantile: float, num_iter: int, sample_rows: int = 0):
     """Masked bandwidth + mean-shift + density counts at a static shape.
 
     The counts (#valid neighbors within the bandwidth after convergence) are
     the NMS visiting order — computing them here keeps the host NMS free of
     any O(N^2) work (it only touches O(N) per surviving mode)."""
-    bw = estimate_bandwidth(pts, mask, quantile=quantile)
+    bw = estimate_bandwidth(pts, mask, quantile=quantile,
+                            sample_rows=sample_rows)
     moved = meanshift_cluster(pts, bw, attn, mask, num_iter=num_iter)
     d2 = pairwise_sqdist(moved, moved)
     within = (d2 <= bw * bw) & mask[None, :]
@@ -190,14 +206,15 @@ def _cluster_static(pts: jax.Array, attn: jax.Array, mask: jax.Array,
     return moved, bw, counts
 
 
-@partial(jax.jit, static_argnames=("quantile", "num_iter"))
-def _cluster_static_batch(pts, attn, mask, quantile, num_iter):
-    return jax.vmap(lambda p, a, m: _cluster_static(p, a, m, quantile, num_iter))(
+@partial(jax.jit, static_argnames=("quantile", "num_iter", "sample_rows"))
+def _cluster_static_batch(pts, attn, mask, quantile, num_iter, sample_rows=0):
+    return jax.vmap(lambda p, a, m: _cluster_static(p, a, m, quantile, num_iter,
+                                                    sample_rows))(
         pts, attn, mask)
 
 
 @partial(jax.jit, static_argnames=("quantile", "num_iter", "attn_threshold",
-                                   "symmetrize", "has_vox"))
+                                   "symmetrize", "has_vox", "sample_rows"))
 def select_and_cluster(
     shifted: jax.Array,            # (B, V, 3)
     attn: jax.Array,               # (B, V)
@@ -210,6 +227,7 @@ def select_and_cluster(
     attn_threshold: float = 0.1,
     symmetrize: bool = True,
     has_vox: bool = False,
+    sample_rows: int = 0,
 ) -> tuple:
     """The entire device end of joint extraction in ONE program: per-sample
     attention min-max (over valid vertices), voxel containment, selection
@@ -235,7 +253,7 @@ def select_and_cluster(
         else:
             pts2, a2, sel2 = s, a_n, sel
         moved, bw, counts = _cluster_static(pts2, a2.astype(jnp.float32), sel2,
-                                            quantile, num_iter)
+                                            quantile, num_iter, sample_rows)
         return moved, bw, counts, a2, sel2
 
     if has_vox:
@@ -282,6 +300,7 @@ def extract_joints_batch(
     attn_nms_threshold: float = 0.7,
     meanshift_iters: int = 30,
     symmetrize: bool = True,
+    bandwidth_sample_rows: int = 0,
 ) -> list:
     """Batched static-shape variant of extract_joints: the padded batch goes
     through ONE jitted bandwidth+mean-shift program (selection as masks, no
@@ -313,7 +332,7 @@ def extract_joints_batch(
 
     moved, bws, counts = _cluster_static_batch(
         jnp.asarray(pts2), jnp.asarray(attn2, jnp.float32), jnp.asarray(sel2),
-        bandwidth_quantile, meanshift_iters)
+        bandwidth_quantile, meanshift_iters, bandwidth_sample_rows)
     moved = np.asarray(moved)
     bws = np.asarray(bws)
     counts = np.asarray(counts)
@@ -343,6 +362,7 @@ def extract_joints(
     attn_nms_threshold: float = 0.7,
     meanshift_iters: int = 30,
     symmetrize: bool = True,
+    bandwidth_sample_rows: int = 0,
 ) -> np.ndarray:
     """The full shifted-points→joints procedure of eval_rigging.py:80-95:
     inside-voxel filter → attention min-max + threshold → reflect-symmetrize →
@@ -361,7 +381,8 @@ def extract_joints(
         return np.zeros((0, 3), np.float32)
     if symmetrize:
         pts, attn = symmetrize_reflect(pts, attn)
-    bw = float(estimate_bandwidth(jnp.asarray(pts), quantile=bandwidth_quantile))
+    bw = float(estimate_bandwidth(jnp.asarray(pts), quantile=bandwidth_quantile,
+                                  sample_rows=bandwidth_sample_rows))
     moved = np.asarray(meanshift_cluster(
         jnp.asarray(pts), jnp.asarray(bw), jnp.asarray(attn), num_iter=meanshift_iters
     ))

@@ -163,14 +163,20 @@ def vox_to_device(vox: Voxels):
 
 def inside_check_jax(pts: jax.Array, grid: jax.Array, translate: jax.Array,
                      scale: jax.Array) -> jax.Array:
-    """Device containment test; pts (..., 3) -> bool (...)."""
+    """Device containment test; pts (..., 3) -> bool (...).
+
+    The lookup is a FLAT linear-index gather from a uint8 view: one gather
+    with scalar indices lowers ~25% faster on TPU than 3-coordinate advanced
+    indexing (tools/profile_gather.py), and this path runs ~12M lookups per
+    rig-prediction iteration (the volumetric-geodesic LOS sampling)."""
     dims = grid.shape[0]
     vc = (pts - translate) / scale * dims
     vc = jnp.round(vc).astype(jnp.int32)
     in_bounds = jnp.all((vc >= 0) & (vc < dims), axis=-1)
     vc = jnp.clip(vc, 0, dims - 1)
-    occ = grid[vc[..., 0], vc[..., 1], vc[..., 2]]
-    return in_bounds & occ
+    lin = (vc[..., 0] * dims + vc[..., 1]) * dims + vc[..., 2]
+    occ = grid.astype(jnp.uint8).reshape(-1)[lin]
+    return in_bounds & (occ > 0)
 
 
 @partial(jax.jit, static_argnames=("num_samples",))

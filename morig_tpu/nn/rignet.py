@@ -97,18 +97,43 @@ class MotionAggregator(nn.Module):
     aggr_method: str = "attn"
     attn_output: int = 64
     width_scale: float = 1.0
+    fold_time: Optional[bool] = None    # None -> fold iff norm is "layer"
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_flow: jax.Array, mesh: MeshBatch, train: bool = False):
+        from morig_tpu.nn.mlp import get_default_norm
+
         motion_net = GCNRig(self.motion_dim, width_scale=self.width_scale,
                             axis_name=self.axis_name, name="motionNet")
-        feats = []
-        for t in range(self.num_keyframes):
-            flow_t = jax.lax.dynamic_slice_in_dim(input_flow, 3 * t, 3, axis=-1)
-            m = motion_net(mesh.verts, flow_t, mesh, train)
-            feats.append(l2_normalize(m))
-        motion_all = jnp.stack(feats, axis=2)                       # (B,V,T,M)
+        T = self.num_keyframes
+        # Folding is only legal under per-row (layer) norm statistics, and is
+        # measurably SLOWER on the v5e bench (18.1 vs 19.6 meshes/s at B=32):
+        # the duplicated (B*T) mesh tables cost more than the 5 launches they
+        # save, so the loop stays the default.  fold_time=True remains for
+        # the equivalence test and future re-evaluation.
+        fold = (self.fold_time is True) and get_default_norm() == "layer"
+        if fold:
+            # Fold the keyframe axis into the batch: ONE trunk launch at
+            # (B*T) instead of T sequential launches.  LayerNorm statistics
+            # are per-row, so this is exactly the per-frame loop; the loop
+            # below is kept for the "batch"-norm reference-parity mode,
+            # whose BN batch statistics are per-frame (rignet.py:85-88).
+            B, V = input_flow.shape[0], input_flow.shape[1]
+            flow_bt = jnp.reshape(input_flow, (B, V, T, 3))
+            flow_bt = jnp.transpose(flow_bt, (0, 2, 1, 3)).reshape(B * T, V, 3)
+            tile = lambda a: jnp.repeat(a, T, axis=0)
+            mesh_bt = jax.tree.map(tile, mesh)
+            m = motion_net(mesh_bt.verts, flow_bt, mesh_bt, train)  # (B*T,V,M)
+            motion_all = jnp.transpose(
+                l2_normalize(m).reshape(B, T, V, self.motion_dim), (0, 2, 1, 3))
+        else:
+            feats = []
+            for t in range(T):
+                flow_t = jax.lax.dynamic_slice_in_dim(input_flow, 3 * t, 3, axis=-1)
+                m = motion_net(mesh.verts, flow_t, mesh, train)
+                feats.append(l2_normalize(m))
+            motion_all = jnp.stack(feats, axis=2)                   # (B,V,T,M)
         if self.aggr_method == "attn":
             s = self.width_scale
             aggr = TemporalAttn(

@@ -115,6 +115,7 @@ class RigPredictor:
             density_threshold=jc.density_threshold,
             attn_nms_threshold=jc.attn_nms_threshold,
             meanshift_iters=jc.meanshift_max_iter,
+            bandwidth_sample_rows=jc.bandwidth_sample_rows,
         )
 
     # -- stage 4: skeleton ---------------------------------------------------
@@ -260,7 +261,7 @@ class RigPredictor:
                 shifted, attn_p, mesh.vert_mask, grid, tr, sc,
                 quantile=jc.bandwidth_quantile, num_iter=jc.meanshift_max_iter,
                 attn_threshold=jc.attn_threshold, symmetrize=True,
-                has_vox=has_vox)
+                has_vox=has_vox, sample_rows=jc.bandwidth_sample_rows)
             # The (B, 2V, 6) cluster table dominates the fetch over the slow
             # tunnel; f16 halves it (positions exact to ~5e-4; counts exact
             # through 2048).  Row truncation is EXACT by default

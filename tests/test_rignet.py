@@ -72,3 +72,38 @@ def test_skin_motion_forward(rng):
     assert logits.shape == (2, 32, 5)
     assert motion_aggr.shape == (2, 32, 32)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_motion_aggregator_fold_matches_loop():
+    """Folding the keyframe axis into the batch (one trunk launch) must equal
+    the per-frame loop exactly under LayerNorm — per-row statistics make the
+    two orderings the same computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from morig_tpu.core import batch as B
+    from morig_tpu.data.rig import capsule_rig_dataset
+    from morig_tpu.nn.rignet import MotionAggregator
+
+    ds = capsule_rig_dataset(num_models=2, num_points=48, n_lat=7, n_lon=6)
+    rb = ds.batch([0, 1])
+    T = 3
+    V = rb.mesh.verts.shape[1]
+    flow = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, V, 3 * T)), jnp.float32)
+
+    folded = MotionAggregator(num_keyframes=T, fold_time=True)
+    looped = MotionAggregator(num_keyframes=T, fold_time=False)
+    vs = folded.init(jax.random.key(0), flow, rb.mesh, False)
+
+    @jax.jit
+    def run(vs, flow, mesh):
+        a_all, a_aggr = folded.apply(vs, flow, mesh, False)
+        b_all, b_aggr = looped.apply(vs, flow, mesh, False)
+        return a_all, a_aggr, b_all, b_aggr
+
+    a_all, a_aggr, b_all, b_aggr = run(vs, flow, rb.mesh)
+    np.testing.assert_allclose(np.asarray(a_all), np.asarray(b_all),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_aggr), np.asarray(b_aggr),
+                               rtol=1e-5, atol=1e-5)

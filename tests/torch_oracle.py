@@ -169,17 +169,21 @@ class TemporalAttnOracle(nn.Module):
 
 
 class GCNRigOracle(nn.Module):
-    """models/rignet.py:49-67: 3x GCUMotion + global max + transform head."""
+    """models/rignet.py:49-67: 3x GCUMotion + global max + transform head.
 
-    def __init__(self, chn_feature, chn_output):
+    `width_scale` shrinks hidden widths proportionally (1.0 = reference),
+    mirroring morig_tpu.nn.rignet.GCNRig for the trained head-to-head."""
+
+    def __init__(self, chn_feature, chn_output, width_scale=1.0):
         super().__init__()
-        self.gcu_1 = GCUMotionOracle(chn_feature, 64, dim_pos_feat=16)
-        self.gcu_2 = GCUMotionOracle(64, 256, dim_pos_feat=16)
-        self.gcu_3 = GCUMotionOracle(256, 512, dim_pos_feat=16)
-        self.mlp_glb = mlp([64 + 256 + 512, 1024])
+        w = lambda c: max(8, int(c * width_scale))
+        self.gcu_1 = GCUMotionOracle(chn_feature, w(64), dim_pos_feat=16)
+        self.gcu_2 = GCUMotionOracle(w(64), w(256), dim_pos_feat=16)
+        self.gcu_3 = GCUMotionOracle(w(256), w(512), dim_pos_feat=16)
+        self.mlp_glb = mlp([w(64) + w(256) + w(512), w(1024)])
         self.mlp_transform = nn.Sequential(
-            mlp([1024 + 3 + chn_feature + 64 + 256 + 512, 1024, 256]),
-            nn.Linear(256, chn_output),
+            mlp([w(1024) + 3 + chn_feature + w(64) + w(256) + w(512), w(1024), w(256)]),
+            nn.Linear(w(256), chn_output),
         )
 
     def forward(self, pos, feature, tpl_edges, geo_edges):
@@ -220,19 +224,20 @@ class GCNDeformOracle(nn.Module):
 class SkinNetInnerOracle(nn.Module):
     """models/rignet.py:136-182, use_Dg=use_Lf=False single-sample form."""
 
-    def __init__(self, nearest_bone=5, motion_dim=32):
+    def __init__(self, nearest_bone=5, motion_dim=32, width_scale=1.0):
         super().__init__()
         self.K = nearest_bone
+        w = lambda c: max(8, int(c * width_scale))
         input_dim = 3 + nearest_bone * 6
-        self.gcu1 = GCUMotionOracle(motion_dim, 256, in_channel_pos=input_dim,
+        self.gcu1 = GCUMotionOracle(motion_dim, w(256), in_channel_pos=input_dim,
                                     dim_pos_feat=64)
-        self.gcu2 = GCUMotionOracle(256, 256, in_channel_pos=input_dim,
+        self.gcu2 = GCUMotionOracle(w(256), w(256), in_channel_pos=input_dim,
                                     dim_pos_feat=64)
-        self.gcu3 = GCUMotionOracle(256, 256, in_channel_pos=input_dim,
+        self.gcu3 = GCUMotionOracle(w(256), w(256), in_channel_pos=input_dim,
                                     dim_pos_feat=64)
-        self.multi_layer_tranform2 = mlp([256, 512, 1024])  # [sic]
-        self.cls_branch = nn.Sequential(mlp([1024 + 256, 1024, 512]),
-                                        nn.Linear(512, nearest_bone))
+        self.multi_layer_tranform2 = mlp([w(256), w(512), w(1024)])  # [sic]
+        self.cls_branch = nn.Sequential(mlp([w(1024) + w(256), w(1024), w(512)]),
+                                        nn.Linear(w(512), nearest_bone))
 
     def forward(self, pos, skin_input, motion, tpl_edges, geo_edges):
         import numpy as np
