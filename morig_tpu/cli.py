@@ -53,6 +53,11 @@ def _add_common(p):
     p.add_argument("--edge-bwd", default=None, choices=["pallas", "remat_xla"],
                    help="backward for fused-forward training "
                         "(set_edge_bwd; default pallas)")
+    p.add_argument("--knn-impl", default=None,
+                   choices=["auto", "xla", "fused"],
+                   help="cosine-kNN implementation for DeformNet voting / "
+                        "CorrNet vismask (kernels/knn_fused.py set_knn_impl; "
+                        "default auto = fused Pallas on accelerators)")
 
 
 def _setup(args):
@@ -68,6 +73,10 @@ def _setup(args):
         from morig_tpu.nn.gcu import set_edge_bwd
 
         set_edge_bwd(args.edge_bwd)
+    if getattr(args, "knn_impl", None):
+        from morig_tpu.kernels.knn_fused import set_knn_impl
+
+        set_knn_impl(args.knn_impl)
 
 
 def _fixture_kw(args):

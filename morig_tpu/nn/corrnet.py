@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from morig_tpu.core.batch import MeshBatch, PointBatch
 from morig_tpu.kernels import neighbors as nbk
+from morig_tpu.kernels.knn_fused import knn_batched
 from morig_tpu.nn.gcu import GCU
 from morig_tpu.nn.mlp import MLP, MLPHead
 from morig_tpu.nn.pointnet import FPModule, GlobalSAModule, SAModule
@@ -140,10 +141,11 @@ class CorrNet(nn.Module):
         if train_vismask:
             # cosine 1-NN point per vertex; argmax under stop_gradient, the
             # gathered feature and similarity stay differentiable
-            # (corrnet.py:62-74)
-            sim = jnp.einsum("bvc,bpc->bvp", vtx_f, pts_f)
-            sim = jnp.where(points.pts_mask[:, None, :], sim, -1e30)
-            nn_idx = jax.lax.stop_gradient(jnp.argmax(sim, axis=-1))  # (B,V)
+            # (corrnet.py:62-74).  knn_batched(k=1) avoids materializing the
+            # (B,V,P) similarity in HBM on the fused path.
+            nn_idx = jax.lax.stop_gradient(
+                knn_batched(vtx_f, pts_f, 1, points.pts_mask)[0][..., 0]
+            )                                                         # (B,V)
             nn_feat = jax.vmap(lambda f, i: f[i])(pts_f, nn_idx)
             nn_sim = jnp.sum(vtx_f * nn_feat, axis=-1, keepdims=True)
             combined = jnp.concatenate([vtx_f, nn_feat, nn_sim], axis=-1)

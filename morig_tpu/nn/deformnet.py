@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from morig_tpu.core.batch import MeshBatch, PointBatch
 from morig_tpu.kernels import neighbors as nbk
+from morig_tpu.kernels.knn_fused import knn_batched
 from morig_tpu.nn.corrnet import CorrNet
 from morig_tpu.nn.gcu import GCUMotion
 from morig_tpu.nn.mlp import MLP, MLPHead
@@ -92,9 +93,7 @@ class DeformNet(nn.Module):
 
         # --- visible voting (deformnet.py:49-54) -------------------------
         k = self.num_interp
-        idx, sim = jax.vmap(lambda q, c, m: nbk.knn(q, c, k, m, cosine=True))(
-            vtx_f, pts_f, points.pts_mask
-        )                                                            # (B,V,k)
+        idx, sim = knn_batched(vtx_f, pts_f, k, points.pts_mask)     # (B,V,k)
         sim = jnp.where(sim > nbk.NEG / 2, sim, 0.0)  # drop padded candidates
         nn_pts = jax.vmap(lambda p, i: p[i])(points.pts, idx)        # (B,V,k,3)
         offsets = nn_pts - mesh.verts[:, :, None, :]
@@ -106,9 +105,7 @@ class DeformNet(nn.Module):
 
         # --- invisible completion (deformnet.py:56-95) -------------------
         visible = (vis >= 0.5) & mesh.vert_mask
-        idx2, sim2 = jax.vmap(lambda q, c, m: nbk.knn(q, c, k, m, cosine=True))(
-            vtx_f, vtx_f, visible
-        )
+        idx2, sim2 = knn_batched(vtx_f, vtx_f, k, visible)
         sim2 = jnp.where(sim2 > nbk.NEG / 2, sim2, 0.0)
         vis_flow = jax.vmap(lambda f, i: f[i])(flow_init, idx2)      # (B,V,k,3)
         denom2 = jnp.sum(sim2, axis=-1, keepdims=True)

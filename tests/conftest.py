@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the e2e smoke tests compile the full DAG, which
+# costs minutes of single-core XLA time per program; cached executables make
+# repeat tiers fast.  (CPU cache entries are machine-feature pinned — fine
+# here, the tier always runs on this host.)
+from morig_tpu.core.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
+
 import numpy as np
 import pytest
 

@@ -17,34 +17,15 @@ KW = dict(num_points=48, n_lat=7, n_lon=6)
 def tiny_predictor():
     from morig_tpu.pipelines.rig_predict import capsule_predictor
 
-    return capsule_predictor(train_steps=2, num_embed_sample=32, **KW)
+    # train_steps=0: structural assertions don't need trained weights, and
+    # skipping the 4 train-step programs halves the tier's compile bill
+    return capsule_predictor(train_steps=0, num_embed_sample=32, **KW)
 
 
-def test_full_dag_smoke(tiny_predictor):
-    """predict_rig end-to-end at toy sizes: valid tree, normalized skins,
-    bounded joints (the structural contract of joint2rig.py:397-510)."""
-    predictor, pose_ds, rig_ds = tiny_predictor
-    m = pose_ds.models[0]
-    entry = rig_ds._mesh_cache[0]
-    pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
-
-    rig = predictor.predict_rig(entry, pts_frames)
-    J = rig.num_joints
-    assert J >= 1
-    assert (rig.parents < 0).sum() == 1
-    assert all(-1 <= p < J for p in rig.parents)
-    assert sum(len(l) for l in rig.levels()) == J
-    nv = int(np.asarray(entry["vert_mask"]).sum())
-    assert rig.skins.shape == (nv, J)
-    np.testing.assert_allclose(rig.skins.sum(1), 1.0, atol=1e-4)
-    v = entry["verts"][np.asarray(entry["vert_mask"])]
-    lo, hi = v.min(0) - 1.1, v.max(0) + 1.1
-    assert ((rig.pos >= lo) & (rig.pos <= hi)).all()
-
-
-def test_batched_dag_matches_single(tiny_predictor):
-    """predict_rig_batch is the throughput path the bench times; the fast
-    tier must prove it runs and agrees with the per-mesh path structurally."""
+def test_batched_dag_smoke(tiny_predictor):
+    """predict_rig_batch (the throughput path the bench times) end-to-end at
+    toy sizes: valid tree, normalized skins, bounded joints — the structural
+    contract of joint2rig.py:397-510, checked every commit."""
     predictor, pose_ds, rig_ds = tiny_predictor
     entries = [rig_ds._mesh_cache[i] for i in (0, 1)]
     pts_list = [
@@ -53,10 +34,33 @@ def test_batched_dag_matches_single(tiny_predictor):
     rigs = predictor.predict_rig_batch(entries, pts_list)
     assert len(rigs) == 2
     for rig, entry in zip(rigs, entries):
-        nv = int(np.asarray(entry["vert_mask"]).sum())
-        assert rig.skins.shape[0] == nv
-        np.testing.assert_allclose(rig.skins.sum(1), 1.0, atol=1e-4)
+        J = rig.num_joints
+        assert J >= 1
         assert (rig.parents < 0).sum() == 1
+        assert all(-1 <= p < J for p in rig.parents)
+        assert sum(len(l) for l in rig.levels()) == J
+        nv = int(np.asarray(entry["vert_mask"]).sum())
+        assert rig.skins.shape == (nv, J)
+        np.testing.assert_allclose(rig.skins.sum(1), 1.0, atol=1e-4)
+        v = entry["verts"][np.asarray(entry["vert_mask"])]
+        lo, hi = v.min(0) - 1.1, v.max(0) + 1.1
+        assert ((rig.pos >= lo) & (rig.pos <= hi)).all()
+
+
+@pytest.mark.slow
+def test_single_mesh_dag_matches_batched(tiny_predictor):
+    """The per-mesh predict_rig path (its own B=1 program set) agrees with
+    the batched path structurally."""
+    predictor, pose_ds, rig_ds = tiny_predictor
+    m = pose_ds.models[0]
+    entry = rig_ds._mesh_cache[0]
+    pts_frames = np.stack([m.pts_traj[:, t, :] for t in range(1, 6)])
+
+    rig = predictor.predict_rig(entry, pts_frames)
+    assert (rig.parents < 0).sum() == 1
+    nv = int(np.asarray(entry["vert_mask"]).sum())
+    assert rig.skins.shape[0] == nv
+    np.testing.assert_allclose(rig.skins.sum(1), 1.0, atol=1e-4)
 
 
 def test_scanned_matches_loop_smoke(tmp_path):

@@ -58,3 +58,16 @@ total = sum(agg.values())
 print(f"total device op time: {total/1000:.1f} ms over 3 runs")
 for n, dsum in agg.most_common(25):
     print(f"{dsum/1000:9.2f} ms  x{cnt[n]:4d}  {n[:80]}")
+
+# map the hot fusion names to their HLO bodies so "fusion.2" becomes an op
+hlo = f.lower(dvars["params"], mesh, points).compile().as_text()
+defs = {}
+for line in hlo.splitlines():
+    ls = line.strip()
+    for n, _ in agg.most_common(12):
+        base = n.split("/")[-1]
+        if (" " + base + " = ") in ls or ls.startswith(base + " = "):
+            defs.setdefault(n, ls[:300])
+print("\n--- hot-op HLO definitions ---")
+for n, dsum in agg.most_common(12):
+    print(f"[{dsum/1000:8.2f} ms] {n}\n    {defs.get(n, '??')[:280]}")
