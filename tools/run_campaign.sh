@@ -2,13 +2,45 @@
 # Full convergence campaign with crash resilience: the TPU tunnel worker can
 # restart transiently; every stage is checkpointed (done.json markers), so a
 # re-run resumes where it left off.  Usage: tools/run_campaign.sh [outdir]
+#
+# Liveness watchdog: a dropped tunnel RPC leaves the client blocked on a
+# socket read FOREVER (observed twice on the mask stage — the worker
+# restarted mid-chunk and the reply never came).  A wall-clock timeout can't
+# distinguish that hang from legitimate hours of training, so instead we
+# watch the campaign dir: every stage checkpoints at least once per scanned
+# chunk (<= ~8 min), so "no file written in STALE_S seconds" means a wedged
+# client.  Kill it (by the recorded PID — never by pattern) and retry; the
+# per-epoch crash resume continues from the last checkpoint.
 set -u
 DIR="${1:-campaign_out}"
+STALE_S="${STALE_S:-900}"
 for attempt in 1 2 3 4 5 6 7 8; do
   echo "[run_campaign] attempt $attempt -> $DIR"
-  timeout 14400 python tools/campaign.py --dir "$DIR" "${@:2}"
-  rc=$?
-  if [ $rc -eq 0 ]; then
+  mkdir -p "$DIR"
+  touch "$DIR/.watchdog_start"   # resume case: old artifacts are already
+                                 # stale; measure from attempt start instead
+  python tools/campaign.py --dir "$DIR" "${@:2}" &
+  PID=$!
+  rc=""
+  while true; do
+    sleep 60
+    if ! kill -0 "$PID" 2>/dev/null; then
+      wait "$PID"
+      rc=$?
+      break
+    fi
+    newest=$(find "$DIR" -type f -newermt "-${STALE_S} seconds" 2>/dev/null | head -1)
+    if [ -z "$newest" ] && [ -d "$DIR" ]; then
+      echo "[run_campaign] no $DIR write in ${STALE_S}s: client wedged; killing $PID"
+      kill "$PID" 2>/dev/null
+      sleep 5
+      kill -9 "$PID" 2>/dev/null
+      wait "$PID" 2>/dev/null
+      rc=99
+      break
+    fi
+  done
+  if [ "$rc" = "0" ]; then
     echo "[run_campaign] done"
     exit 0
   fi
