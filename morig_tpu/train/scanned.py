@@ -234,6 +234,7 @@ def run_epochs_scanned(
     rng_np: Optional[np.random.Generator] = None,
     start_epoch: int = 0,
     init_lowest: float = float("inf"),
+    init_best_epoch: int = -1,
     chunk_epochs: int = 25,
     early_stop_patience: Optional[int] = None,
 ):
@@ -314,7 +315,10 @@ def run_epochs_scanned(
     best_params = jax.tree.map(lambda x: jnp.array(x, copy=True), state.params)
     best_bstats = jax.tree.map(lambda x: jnp.array(x, copy=True), state.batch_stats)
     lowest = jnp.asarray(init_lowest, jnp.float32)
-    best_epoch = jnp.asarray(-1, jnp.int32)
+    # resumed segments must report the *global* best epoch: without this a
+    # resume whose val never beats init_lowest ends with best_epoch == -1
+    # (campaign_v3 mask/done.json artifact — true best was epoch 210)
+    best_epoch = jnp.asarray(init_best_epoch, jnp.int32)
     prev_lowest = float(init_lowest)
 
     boundary = getattr(stage, "vis_branch_start_epoch", None)

@@ -142,17 +142,20 @@ def run_epochs(
     start_epoch: int = 0,
     rng: Optional[jax.Array] = None,
     init_lowest: float = float("inf"),
+    init_best_epoch: int = -1,
 ):
     """The shared epoch loop: train / val / test + best-on-val checkpointing
     (train_corr_pose.py:223-247 semantics, for every stage).  Pass
-    ``start_epoch``/``init_lowest`` from a loaded checkpoint's metadata to
-    resume a crashed run without resetting the best-on-val tracker."""
+    ``start_epoch``/``init_lowest``/``init_best_epoch`` from a loaded
+    checkpoint's metadata to resume a crashed run without resetting the
+    best-on-val tracker (or mis-reporting best_epoch=-1 when the resumed
+    segment never improves on the pre-crash best)."""
     from morig_tpu.train import checkpoint as ckpt
 
     logger = logger or MetricLogger(None)
     rng = rng if rng is not None else jax.random.key(0)
     lowest = init_lowest
-    best_epoch = -1
+    best_epoch = init_best_epoch
     for epoch in range(start_epoch, epochs):
         stage.on_epoch(epoch)
         meters: dict[str, Meter] = {}

@@ -81,7 +81,17 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
         return state
     # epoch-level crash resume: the TPU tunnel worker can die mid-stage;
     # checkpoint.msgpack is written every epoch with {epoch, lowest_loss}.
-    start_epoch, init_lowest = 0, float("inf")
+    start_epoch, init_lowest, init_best = 0, float("inf"), -1
+    # the global best epoch lives in the model_best sidecar (saved as
+    # eid+1); without it a resumed segment that never improves reports
+    # best_epoch=-1 in done.json (campaign_v3 mask artifact)
+    best_sidecar = os.path.join(d, "model_best.msgpack.json")
+    if os.path.exists(best_sidecar):
+        try:
+            with open(best_sidecar) as f:
+                init_best = int(json.load(f).get("epoch", 0)) - 1
+        except Exception:
+            pass
     for p in (os.path.join(d, "checkpoint.msgpack"),
               os.path.join(d, "model_best.msgpack")):
         if not os.path.exists(p):
@@ -106,6 +116,7 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
             epochs=epochs, checkpoint_dir=d, logger=logger,
             rng=jax.random.key(seed + 1), rng_np=rng_np,
             start_epoch=start_epoch, init_lowest=init_lowest,
+            init_best_epoch=init_best,
             chunk_epochs=chunk, early_stop_patience=patience,
         )
     else:
@@ -117,6 +128,7 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
             epochs=epochs, checkpoint_dir=d, logger=logger,
             rng=jax.random.key(seed + 1),
             start_epoch=start_epoch, init_lowest=init_lowest,
+            init_best_epoch=init_best,
         )
     state, meta = ckpt.load_checkpoint(state, best_path)
     mark_done(d, dict(best_epoch=best, seconds=time.time() - t0))
