@@ -370,11 +370,28 @@ def main():
     )
     from morig_tpu.geometry import skeleton as sk
     from morig_tpu.geometry.voxel import voxelize_mesh
+    from morig_tpu.core.config import DEFAULT_CONFIG
     from morig_tpu.pipelines.rig_predict import RigPredictor
+
+    # joint-extraction thresholds tuned on the VALIDATION creatures
+    # (tools/sweep_joint_params.py); held-out numbers stay honest because the
+    # sweep never saw the test seeds.  Falls back to the reference defaults
+    # (eval_rigging.py:80-95) when no sweep result exists.
+    pred_cfg = DEFAULT_CONFIG
+    sweep_path = os.path.join(args.dir, "joint_sweep_result.json")
+    if os.path.exists(sweep_path):
+        import dataclasses as dc
+
+        with open(sweep_path) as f:
+            tuned = json.load(f)["best"]
+        pred_cfg = dc.replace(
+            pred_cfg, joints=dc.replace(pred_cfg.joints, **tuned))
+        print(f"[campaign] joint extraction thresholds from sweep: {tuned}")
 
     predictor = RigPredictor(
         deform, deform_state, joint, joint_state, mask, mask_state,
         root, root_state, bone, bone_state, skin, skin_state,
+        cfg=pred_cfg,
     )
 
     res_dir = os.path.join(args.dir, "results")
