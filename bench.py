@@ -34,6 +34,12 @@ _T_START = time.monotonic()
 # weak #1: BENCH_r03 rc=124 recorded NOTHING).
 _RESULT: dict = {}
 _PRINTED = False
+# Last COMPLETED full-hardware run, committed so a deadline that fires during
+# a cold compile (every program re-lowers after a kernel change: the round-3
+# rc=124 and its round-4 echo) still puts an honest, clearly-flagged number
+# on the board instead of recording nothing.
+_LAST_FULL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "results", "bench_last_full.json")
 
 
 def _finalize(rc: int | None = None) -> None:
@@ -43,6 +49,17 @@ def _finalize(rc: int | None = None) -> None:
     _PRINTED = True
     if _RESULT.get("metric"):
         print(json.dumps(_RESULT), flush=True)
+    else:
+        try:
+            with open(_LAST_FULL) as f:
+                stale = json.load(f)
+            stale["stale"] = True
+            stale["stale_reason"] = ("deadline hit during cold compile; "
+                                     "values are this machine's last "
+                                     "completed full run")
+            print(json.dumps(stale), flush=True)
+        except Exception:
+            pass
     if rc is not None:
         os._exit(rc)
 
@@ -197,10 +214,27 @@ def main():
 
     # ---- phase A: full-DAG rig prediction ----
     dcache: dict = {}   # static per-mesh device residents (uploaded once)
+    t0 = time.perf_counter()
     rigs = predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
                                        surf_geos=surf_geos,
                                        device_cache=dcache)     # compile
     assert len(rigs) == Bn and all(r.skins is not None for r in rigs)
+    print(f"  [bench] phase A compile+first run {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    # provisional 1-iter number straight after compile: a cold-cache run
+    # whose remaining iters would cross the deadline still records a real
+    # (slightly pessimistic) throughput instead of nothing
+    t0 = time.perf_counter()
+    rigs = predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
+                                       surf_geos=surf_geos, device_cache=dcache)
+    dt1 = time.perf_counter() - t0
+    _RESULT.update({
+        "metric": "rig_predict_throughput",
+        "value": round(Bn / dt1, 3),
+        "unit": "meshes/sec",
+        "vs_baseline": round(Bn / dt1 / 20.0, 3),
+        "provisional_single_iter": True,
+    })
     timings: dict = {}
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -241,6 +275,7 @@ def main():
 
     # phase A is the headline metric — record it NOW so the watchdog (or a
     # driver kill) can never again lose the round's number
+    _RESULT.pop("provisional_single_iter", None)
     _RESULT.update({
         "metric": "rig_predict_throughput",
         "value": round(meshes_per_sec, 3),
@@ -399,6 +434,15 @@ def main():
         gcu.set_edge_impl(chosen)                             # restore phase-A choice
 
     signal.alarm(0)
+    # Snapshot the completed run for the stale-fallback path (hardware runs
+    # only; --smoke numbers would poison the fallback).
+    if not args.smoke and _RESULT.get("metric"):
+        try:
+            os.makedirs(os.path.dirname(_LAST_FULL), exist_ok=True)
+            with open(_LAST_FULL, "w") as f:
+                json.dump(dict(_RESULT, recorded_unix=time.time()), f)
+        except Exception:
+            pass
     _finalize()
 
 
