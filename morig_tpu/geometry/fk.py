@@ -106,6 +106,60 @@ def fk_masked(parents: jax.Array, level_of: jax.Array, local_rots: jax.Array,
     return G, q
 
 
+def fk_masked_doubling(parents: jax.Array, level_of: jax.Array,
+                       local_rots: jax.Array, offsets: jax.Array,
+                       max_depth: int,
+                       root_trans: jax.Array | None = None
+                       ) -> tuple[jax.Array, jax.Array]:
+    """`fk_masked` via pointer doubling: ceil(log2(depth)) composition steps
+    instead of `depth` sequential levels.
+
+    FK is a product of per-joint affines along the root path; affine
+    composition is associative, so the product parallelises as the classic
+    path-doubling scan: each step composes every joint's accumulated affine
+    with its current pointer-ancestor's and squares the pointer.  Per-joint
+    ops are identical in size to one `fk_masked` level, so the sequential op
+    count — the whole cost of FK inside the 600-iteration IK loop, where
+    every op is tiny and latency-bound — drops from `depth` to log2(depth).
+    The root's affine is stripped to identity during the scan (so pointers
+    parked at the root compose harmlessly) and re-applied once at the end.
+
+    Numerics differ from `fk_masked` only by float re-association (~1e-6).
+    Same contract: padded joints (level -1, parent self) return
+    G = local_rots, q = offsets."""
+    J = local_rots.shape[0]
+    is_root = level_of == 0
+    is_pad = level_of < 0
+    dt = local_rots.dtype
+
+    # child-relative affines; the scan runs with root/pad set to identity
+    strip = is_root | is_pad
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dt), (J, 3, 3))
+    R = jnp.where(strip[:, None, None], eye, local_rots)
+    t = jnp.where(strip[:, None], 0.0, offsets)
+
+    steps = 0 if max_depth <= 1 else int(np.ceil(np.log2(max_depth)))
+    P = parents
+    for _ in range(steps):
+        Rp, tp = R[P], t[P]
+        R = Rp @ R
+        t = tp + jnp.einsum("jab,jb->ja", Rp, t)
+        P = P[P]
+
+    # apply the single level-0 root's global affine on top of every path
+    root_q = offsets
+    if root_trans is not None:
+        root_q = root_q + root_trans[None, :]
+    root_R = jnp.sum(jnp.where(is_root[:, None, None], local_rots, 0.0), 0)
+    root_t = jnp.sum(jnp.where(is_root[:, None], root_q, 0.0), 0)
+    G = root_R[None] @ R
+    q = root_t[None] + jnp.einsum("ab,jb->ja", root_R, t)
+
+    G = jnp.where(is_pad[:, None, None], local_rots, G)
+    q = jnp.where(is_pad[:, None], offsets, q)
+    return G, q
+
+
 def lbs_from_local(G: jax.Array, q: jax.Array, vert_local: jax.Array,
                    skins: jax.Array) -> jax.Array:
     """Blend per-joint local vertex coordinates into world positions

@@ -111,7 +111,7 @@ def make_ik_solver_masked(max_depth: int, cfg: IKConfig):
           constraint_idx (N,), targets (N,3), vismask (N,), valid (N,))
       -> (locals_out, G, q)
     """
-    from morig_tpu.geometry.fk import fk_masked
+    from morig_tpu.geometry.fk import fk_masked_doubling as fk_masked
 
     rot_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
                          optax.adam(cfg.lr * jnp.pi))

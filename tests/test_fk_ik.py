@@ -141,3 +141,66 @@ def test_ik_ignores_invisible():
                        jnp.asarray(cap.skins), jnp.arange(V),
                        jnp.asarray(targets.astype(np.float32)), jnp.asarray(vis))
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+
+
+def test_fk_doubling_matches_masked():
+    """Path-doubling FK == level-unrolled masked FK on random trees with
+    padding, including root translation (the IK hot-loop replacement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from morig_tpu.geometry.fk import (
+        fk_masked, fk_masked_doubling, topology_arrays,
+    )
+
+    rng = np.random.default_rng(7)
+    for J, Jm in [(1, 4), (2, 4), (7, 8), (22, 48), (31, 32)]:
+        parents = np.full(J, -1, int)
+        for j in range(1, J):
+            parents[j] = rng.integers(0, j)      # random tree, root at 0
+        p, lv, depth = topology_arrays(parents, Jm)
+        rots = np.linalg.qr(rng.normal(size=(Jm, 3, 3)))[0].astype(np.float32)
+        offs = rng.normal(size=(Jm, 3)).astype(np.float32)
+        tr = rng.normal(size=(3,)).astype(np.float32)
+        for root_trans in (None, jnp.asarray(tr)):
+            Ga, qa = fk_masked(jnp.asarray(p), jnp.asarray(lv),
+                               jnp.asarray(rots), jnp.asarray(offs),
+                               depth, root_trans)
+            Gb, qb = fk_masked_doubling(jnp.asarray(p), jnp.asarray(lv),
+                                        jnp.asarray(rots), jnp.asarray(offs),
+                                        depth, root_trans)
+            np.testing.assert_allclose(np.asarray(Ga), np.asarray(Gb),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                                       atol=2e-4)
+
+
+def test_fk_doubling_grad_matches():
+    """Autodiff through the doubling scan matches the level-unrolled path."""
+    import jax
+    import jax.numpy as jnp
+
+    from morig_tpu.geometry.fk import (
+        fk_masked, fk_masked_doubling, topology_arrays,
+    )
+
+    rng = np.random.default_rng(3)
+    J, Jm = 9, 16
+    parents = np.full(J, -1, int)
+    for j in range(1, J):
+        parents[j] = rng.integers(0, j)
+    p, lv, depth = topology_arrays(parents, Jm)
+    rots = np.linalg.qr(rng.normal(size=(Jm, 3, 3)))[0].astype(np.float32)
+    offs = rng.normal(size=(Jm, 3)).astype(np.float32)
+
+    def loss(fn, r, o):
+        G, q = fn(jnp.asarray(p), jnp.asarray(lv), r, o, depth)
+        return jnp.sum(G ** 2) + jnp.sum(jnp.sin(q))
+
+    ga = jax.grad(lambda r, o: loss(fk_masked, r, o), argnums=(0, 1))(
+        jnp.asarray(rots), jnp.asarray(offs))
+    gb = jax.grad(lambda r, o: loss(fk_masked_doubling, r, o), argnums=(0, 1))(
+        jnp.asarray(rots), jnp.asarray(offs))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

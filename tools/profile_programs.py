@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--roofline", action="store_true")
+    ap.add_argument("--trace", default=None, metavar="PREFIX",
+                    help="per-op device profile of the one cached program "
+                         "whose name starts with PREFIX")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="v5e bf16 peak")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
@@ -107,6 +110,39 @@ def main():
     dcache: dict = {}
     predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
                                 surf_geos=surf_geos, device_cache=dcache)
+
+    if args.trace:
+        import collections
+        import glob
+        import gzip
+        import json
+
+        name = next(n for n in predictor._jit_cache if n.startswith(args.trace))
+        w = predictor._jit_cache[name]
+        a = predictor._last_args[name]
+        fence(w.jitted(*a))                                   # warm
+        with jax.profiler.trace("/tmp/progtrace"):
+            for _ in range(max(args.iters, 1)):
+                fence(w.jitted(*a))
+        d = sorted(glob.glob("/tmp/progtrace/plugins/profile/*"))[-1]
+        path = glob.glob(d + "/*.trace.json.gz")[0]
+        with gzip.open(path) as fh:
+            data = json.load(fh)
+        ev = data["traceEvents"]
+        pids = {e["pid"]: e["args"]["name"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pid = [p for p, n in pids.items() if "TPU" in n][0]
+        agg = collections.Counter(); cnt = collections.Counter()
+        for e in ev:
+            if (e.get("ph") == "X" and e.get("pid") == dev_pid
+                    and e.get("tid") not in (2,)):
+                agg[e["name"]] += e.get("dur", 0); cnt[e["name"]] += 1
+        it = max(args.iters, 1)
+        total = sum(agg.values())
+        print(f"[{name}] total device op time: {total/1000/it:.1f} ms/iter")
+        for n, dsum in agg.most_common(25):
+            print(f"{dsum/1000/it:9.2f} ms  x{cnt[n]//it:4d}  {n[:90]}")
+        return
 
     if args.roofline:
         print(f"{'program':28s} {'ms':>8s} {'GFLOP':>8s} {'GB':>7s} "
