@@ -74,10 +74,35 @@ def main():
         )
         return grid_pad[lin]
 
+    # D: gather whole z-ROWS (contiguous minor dim — lane-vectorized), then
+    # select the z entry with a one-hot multiply-reduce on the VPU.  Element
+    # gathers pay full gather latency per SAMPLE; this pays it per ROW and
+    # streams 88 contiguous bytes each.
+    grid_rows = jnp.asarray(
+        np.asarray(grid).reshape(D * D, D).astype(np.uint8))
+    zi = jnp.arange(D, dtype=jnp.int32)
+
+    @jax.jit
+    def d(grid_rows, idx):
+        rows = grid_rows[idx[:, 0] * D + idx[:, 1]]            # (N, D)
+        z1h = (idx[:, 2:3] == zi[None, :])
+        return jnp.max(jnp.where(z1h, rows, 0), axis=-1)
+
+    # E: D with a bf16 dot instead of the masked max (MXU-eligible form)
+    grid_rows_bf = grid_rows.astype(jnp.bfloat16)
+
+    @jax.jit
+    def e(grid_rows_bf, idx):
+        rows = grid_rows_bf[idx[:, 0] * D + idx[:, 1]]         # (N, D)
+        z1h = (idx[:, 2:3] == zi[None, :]).astype(jnp.bfloat16)
+        return jnp.sum(rows * z1h, axis=-1)
+
     print(f"N={args.n}")
     print(f"  A 3d-index bool grid : {timeit(a, grid, idx):8.1f} ms")
     print(f"  B flat u8 gather     : {timeit(b, grid_flat, idx):8.1f} ms")
     print(f"  C flat u8 pow2 shift : {timeit(c, grid_pad, idx):8.1f} ms")
+    print(f"  D z-row u8 + 1hot max: {timeit(d, grid_rows, idx):8.1f} ms")
+    print(f"  E z-row bf16 + dot   : {timeit(e, grid_rows_bf, idx):8.1f} ms")
 
 
 if __name__ == "__main__":

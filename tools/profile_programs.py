@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--trace", default=None, metavar="PREFIX",
                     help="per-op device profile of the one cached program "
                          "whose name starts with PREFIX")
+    ap.add_argument("--hlo", default=None, metavar="PREFIX",
+                    help="dump compiled HLO of the program whose name starts "
+                         "with PREFIX to /tmp/<name>.hlo")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="v5e bf16 peak")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
@@ -110,6 +113,17 @@ def main():
     dcache: dict = {}
     predictor.predict_rig_batch(entries, pts_frames_list, voxes=voxes,
                                 surf_geos=surf_geos, device_cache=dcache)
+
+    if args.hlo:
+        name = next(n for n in predictor._jit_cache if n.startswith(args.hlo))
+        w = predictor._jit_cache[name]
+        a = predictor._last_args[name]
+        txt = w.jitted.lower(*a).compile().as_text()
+        out = f"/tmp/{name}.hlo"
+        with open(out, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {out} ({len(txt)} bytes)")
+        return
 
     if args.trace:
         import collections
