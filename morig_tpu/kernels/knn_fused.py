@@ -40,6 +40,17 @@ _KPAD = 128          # lane-padded k in the kernel output; sliced outside
 
 
 def _knn_kernel(q_ref, ct_ref, m_ref, idx_ref, score_ref, *, k):
+    _knn_body(q_ref, ct_ref, m_ref, None, idx_ref, score_ref, None, k=k, C=0)
+
+
+def _knn_gather_kernel(q_ref, ct_ref, m_ref, vhl_ref, idx_ref, score_ref,
+                       gout_ref, *, k, C):
+    _knn_body(q_ref, ct_ref, m_ref, vhl_ref, idx_ref, score_ref, gout_ref,
+              k=k, C=C)
+
+
+def _knn_body(q_ref, ct_ref, m_ref, vhl_ref, idx_ref, score_ref, gout_ref,
+              *, k, C):
     q = q_ref[0]                                   # (TV, C)
     ct = ct_ref[0]                                 # (C, P)
     m = m_ref[0]                                   # (1, P) int32
@@ -61,19 +72,32 @@ def _knn_kernel(q_ref, ct_ref, m_ref, idx_ref, score_ref, *, k):
         imax = jnp.where(smax > NEG / 2, imax, 0)
         out_i = jnp.where(kcol == j, imax, out_i)
         out_s = jnp.where(kcol == j, smax, out_s)
-        sim = jnp.where(col == imax, NEG, sim)
+        msel = col == imax                                            # (TV,P)
+        if gout_ref is not None:
+            # the selection mask IS the gather one-hot: one (TV,P)@(P,2C)
+            # MXU dot per sweep returns the selected value rows (hi/lo bf16
+            # halves packed side by side, summed to ~2^-17-relative fp32) —
+            # the consumer's row gather never touches HBM-side XLA gather
+            g = jnp.dot(msel.astype(jnp.bfloat16), vhl_ref[0],
+                        preferred_element_type=jnp.float32)           # (TV,2C)
+            gout_ref[0, :, j, :] = g[:, :C] + g[:, C:]
+        sim = jnp.where(msel, NEG, sim)
     idx_ref[0] = out_i
     score_ref[0] = out_s
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_v", "interpret"))
 def _fused_raw(query, cand, mask, k: int, tile_v: int = 512,
-               interpret: bool = False):
+               interpret: bool = False, values=None):
     """query (B,N,C), cand (B,P,C), mask (B,P) bool -> idx (B,N,k) i32,
-    score (B,N,k) fp32.  N must divide by an 8-multiple tile; P % 128 == 0.
+    score (B,N,k) fp32 [, gathered (B,N,k,Cv) fp32 when `values` (B,P,Cv)
+    is given].  N must divide by an 8-multiple tile; P % 128 == 0.
 
     The similarity matmul runs in bf16 with fp32 accumulation (the same
-    precision the fused edge kernel uses; measured 2x over tiling in f32)."""
+    precision the fused edge kernel uses; measured 2x over tiling in f32).
+    With `values`, each sweep's selection mask doubles as a gather one-hot
+    (one extra (TV,P)@(P,2Cv) dot per sweep) so the consumer's row gather
+    never runs as an XLA per-row DMA loop."""
     B, N, C = query.shape
     P = cand.shape[1]
     assert P >= k, (P, k)
@@ -85,30 +109,48 @@ def _fused_raw(query, cand, mask, k: int, tile_v: int = 512,
     cand_t = jnp.transpose(cand.astype(jnp.bfloat16), (0, 2, 1))   # (B,C,P)
     mask_i = mask.astype(jnp.int32)[:, None, :]                # (B,1,P)
     grid = (B, N // TV)
-    idx, score = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TV, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, P), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, TV, _KPAD), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TV, _KPAD), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, N, _KPAD), jnp.int32),
-            jax.ShapeDtypeStruct((B, N, _KPAD), jnp.float32),
-        ),
-        interpret=interpret,
-    )(query, cand_t, mask_i)
-    return idx[..., :k], score[..., :k]
+    in_specs = [
+        pl.BlockSpec((1, TV, C), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, P), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, TV, _KPAD), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TV, _KPAD), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N, _KPAD), jnp.int32),
+        jax.ShapeDtypeStruct((B, N, _KPAD), jnp.float32),
+    ]
+    if values is None:
+        kern = functools.partial(_knn_kernel, k=k)
+        args = (query, cand_t, mask_i)
+    else:
+        from morig_tpu.kernels.gather_fused import hilo_pack
+
+        Cv = values.shape[-1]
+        kern = functools.partial(_knn_gather_kernel, k=k, C=Cv)
+        in_specs.append(pl.BlockSpec((1, P, 2 * Cv), lambda b, i: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((1, TV, k, Cv),
+                                      lambda b, i: (b, i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, N, k, Cv), jnp.float32))
+        args = (query, cand_t, mask_i, hilo_pack(values))
+    out = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs, out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape), interpret=interpret,
+    )(*args)
+    if values is None:
+        idx, score = out
+        return idx[..., :k], score[..., :k]
+    idx, score, gathered = out
+    return idx[..., :k], score[..., :k], gathered
 
 
 # ---------------------------------------------------------------------------
@@ -145,6 +187,36 @@ def _fused_bwd(k, interpret, res, cots):
 _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_g_vjp(query, cand, mask, values, k: int, interpret: bool):
+    return _fused_raw(query, cand, mask, k, interpret=interpret,
+                      values=values)
+
+
+def _fused_g_fwd(query, cand, mask, values, k, interpret):
+    out = _fused_raw(query, cand, mask, k, interpret=interpret, values=values)
+    idx = out[0]
+    return out, (query, cand, mask, idx, values.shape)
+
+
+def _fused_g_bwd(k, interpret, res, cots):
+    query, cand, mask, idx, vshape = res
+    _, d_score, d_gathered = cots
+    dq, dc, dmask = _fused_bwd(k, interpret, (query, cand, mask, idx),
+                               (None, d_score))
+    # gathered_j = values[idx_j]: cotangent scatter-adds into the selected
+    # rows (selection itself is non-differentiable, like the XLA
+    # gather-of-top_k path)
+    dvals = jax.vmap(
+        lambda i, g: jnp.zeros(vshape[1:], g.dtype).at[
+            i.reshape(-1)].add(g.reshape(-1, g.shape[-1]))
+    )(idx, d_gathered)
+    return dq, dc, dmask, dvals
+
+
+_fused_g_vjp.defvjp(_fused_g_fwd, _fused_g_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public entry: batched cosine kNN with automatic fused/XLA dispatch
 # ---------------------------------------------------------------------------
@@ -171,15 +243,24 @@ def get_knn_impl() -> str:
 def _shapes_ok(query, cand, k) -> bool:
     B, N, C = query.shape
     P = cand.shape[1]
-    return (N % 8 == 0) and (P % 128 == 0) and (P >= k) and (C <= 512)
+    # k <= _KPAD: the kernel writes k results into a _KPAD-wide block; an
+    # oversized k would silently truncate to _KPAD columns (ADVICE r4 #1)
+    return (N % 8 == 0) and (P % 128 == 0) and (P >= k) and (C <= 512) \
+        and (k <= _KPAD)
 
 
-def knn_batched(query, cand, k: int, cand_mask=None, *, interpret=False):
+def knn_batched(query, cand, k: int, cand_mask=None, *, gather_values=None,
+                interpret=False):
     """Batched cosine top-k: (B,N,C) x (B,P,C) -> idx, score (B,N,k).
 
     Drop-in for `vmap(lambda q,c,m: neighbors.knn(q,c,k,m,cosine=True))`.
     Dispatches to the fused Pallas kernel when enabled and shapes allow;
     otherwise falls back to the vmapped XLA path.
+
+    With `gather_values` (B,P,Cv), also returns `values[idx]` (B,N,k,Cv) as a
+    third output — on the fused path the gather happens inside the kernel
+    (the sweep's selection mask doubles as the gather one-hot, ~2^-17
+    relative), replacing the XLA per-row gather that profiled at 6-8 ns/row.
     """
     from morig_tpu.kernels import neighbors as nbk
 
@@ -189,10 +270,19 @@ def knn_batched(query, cand, k: int, cand_mask=None, *, interpret=False):
         _IMPL == "auto"
         and jax.default_backend() not in ("cpu",)
     )
-    if use_fused and _shapes_ok(query, cand, k):
+    gv_ok = gather_values is None or (
+        gather_values.shape[-1] <= 256 and gather_values.shape[1] % 16 == 0)
+    if use_fused and _shapes_ok(query, cand, k) and gv_ok:
         # on CPU the Mosaic backend is unavailable; interpret mode keeps the
         # fused path testable end-to-end (slow but exact)
         interp = interpret or jax.default_backend() == "cpu"
-        return _fused_vjp(query, cand, cand_mask, k, interp)
-    return jax.vmap(lambda q, c, m: nbk.knn(q, c, k, m, cosine=True))(
+        if gather_values is None:
+            return _fused_vjp(query, cand, cand_mask, k, interp)
+        return _fused_g_vjp(query, cand, cand_mask,
+                            gather_values.astype(jnp.float32), k, interp)
+    idx, score = jax.vmap(lambda q, c, m: nbk.knn(q, c, k, m, cosine=True))(
         query, cand, cand_mask)
+    if gather_values is None:
+        return idx, score
+    gathered = jax.vmap(lambda v, i: v[i])(gather_values, idx)
+    return idx, score, gathered

@@ -139,14 +139,15 @@ class CorrNet(nn.Module):
         )
         vis_logits = None
         if train_vismask:
-            # cosine 1-NN point per vertex; argmax under stop_gradient, the
-            # gathered feature and similarity stay differentiable
-            # (corrnet.py:62-74).  knn_batched(k=1) avoids materializing the
-            # (B,V,P) similarity in HBM on the fused path.
-            nn_idx = jax.lax.stop_gradient(
-                knn_batched(vtx_f, pts_f, 1, points.pts_mask)[0][..., 0]
-            )                                                         # (B,V)
-            nn_feat = jax.vmap(lambda f, i: f[i])(pts_f, nn_idx)
+            # cosine 1-NN point per vertex; the selection is non-
+            # differentiable (argmax), the gathered feature and similarity
+            # stay differentiable (corrnet.py:62-74).  knn_batched(k=1)
+            # avoids materializing the (B,V,P) similarity in HBM on the
+            # fused path, and the feature gather rides the kernel's
+            # selection mask (gather_values) instead of an XLA row gather.
+            _, _, nn_feat = knn_batched(vtx_f, pts_f, 1, points.pts_mask,
+                                        gather_values=pts_f)
+            nn_feat = nn_feat[:, :, 0, :]                             # (B,V,C)
             nn_sim = jnp.sum(vtx_f * nn_feat, axis=-1, keepdims=True)
             combined = jnp.concatenate([vtx_f, nn_feat, nn_sim], axis=-1)
             vis_logits = MLPHead([256, 128, 64], 1, zero_init=True,

@@ -92,10 +92,13 @@ class DeformNet(nn.Module):
         vis = minmax_normalize(vis, mesh.vert_mask)
 
         # --- visible voting (deformnet.py:49-54) -------------------------
+        # the point gather rides the kNN kernel (selection mask = one-hot);
+        # the XLA fallback path gathers with a vmapped take
         k = self.num_interp
-        idx, sim = knn_batched(vtx_f, pts_f, k, points.pts_mask)     # (B,V,k)
+        idx, sim, nn_pts = knn_batched(
+            vtx_f, pts_f, k, points.pts_mask,
+            gather_values=points.pts)                # (B,V,k), (B,V,k,3)
         sim = jnp.where(sim > nbk.NEG / 2, sim, 0.0)  # drop padded candidates
-        nn_pts = jax.vmap(lambda p, i: p[i])(points.pts, idx)        # (B,V,k,3)
         offsets = nn_pts - mesh.verts[:, :, None, :]
         w = sim * vis[:, :, None]                                    # (B,V,k)
         denom = jnp.sum(w, axis=-1, keepdims=True)
@@ -105,9 +108,9 @@ class DeformNet(nn.Module):
 
         # --- invisible completion (deformnet.py:56-95) -------------------
         visible = (vis >= 0.5) & mesh.vert_mask
-        idx2, sim2 = knn_batched(vtx_f, vtx_f, k, visible)
+        idx2, sim2, vis_flow = knn_batched(
+            vtx_f, vtx_f, k, visible, gather_values=flow_init)   # (B,V,k,3)
         sim2 = jnp.where(sim2 > nbk.NEG / 2, sim2, 0.0)
-        vis_flow = jax.vmap(lambda f, i: f[i])(flow_init, idx2)      # (B,V,k,3)
         denom2 = jnp.sum(sim2, axis=-1, keepdims=True)
         invis_flow = jnp.sum(vis_flow * sim2[..., None], axis=2) / jnp.where(
             jnp.abs(denom2) > 1e-8, denom2, 1e-8

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from morig_tpu.kernels import neighbors as nbk
+from morig_tpu.kernels.gather_fused import gather_rows
 from morig_tpu.nn.mlp import MLP
 
 
@@ -48,13 +49,16 @@ class SAModule(nn.Module):
             lambda c, p, m: nbk.radius_group(c, p, self.radius, self.max_neighbors, m)
         )(new_pos, pos, mask)                                               # (B,K,M)
 
-        p_j = jax.vmap(lambda p, g: p[g])(pos, grp_idx)                     # (B,K,M,3)
-        rel = p_j - new_pos[:, :, None, :]
+        # one fused gather for [x_j | p_j] (gather_fused kernel at inference;
+        # XLA per-row gather in training)
         if x is None:
-            feat_in = rel
+            p_j = gather_rows(pos, grp_idx, train)                          # (B,K,M,3)
+            feat_in = p_j - new_pos[:, :, None, :]
         else:
-            x_j = jax.vmap(lambda f, g: f[g])(x, grp_idx)                   # (B,K,M,C)
-            feat_in = jnp.concatenate([x_j, rel], axis=-1)
+            g = gather_rows(jnp.concatenate([x, pos], axis=-1), grp_idx, train)
+            C = x.shape[-1]
+            rel = g[..., C:] - new_pos[:, :, None, :]
+            feat_in = jnp.concatenate([g[..., :C], rel], axis=-1)
         grp_valid = grp_valid & new_mask[:, :, None]
         msg = MLP(self.mlp_channels, axis_name=self.axis_name, name="conv")(
             feat_in, grp_valid, train
@@ -92,9 +96,16 @@ class FPModule(nn.Module):
         if x.ndim == 2:  # global feature (B, C): broadcast to every target
             up = jnp.broadcast_to(x[:, None, :], (x.shape[0], pos_skip.shape[1], x.shape[-1]))
         else:
-            up = jax.vmap(
-                lambda f, ps, pt, m: nbk.knn_interpolate(f, ps, pt, self.k, m)
-            )(x, pos, pos_skip, mask)
+            # knn_interpolate semantics, with the feature gather routed
+            # through the fused one-hot-matmul kernel at inference
+            idx, negd2 = jax.vmap(
+                lambda ps, pt, m: nbk.knn(pt, ps, self.k, cand_mask=m,
+                                          cosine=False)
+            )(pos, pos_skip, mask)                            # (B, Ntar, k)
+            w = 1.0 / (jnp.maximum(-negd2, 0.0) + 1e-8)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            gathered = gather_rows(x, idx, train)             # (B, Ntar, k, C)
+            up = jnp.sum(gathered * w[..., None], axis=2)
         if x_skip is not None:
             up = jnp.concatenate([up, x_skip], axis=-1)
         out = MLP(self.mlp_channels, axis_name=self.axis_name, name="nn")(
@@ -130,13 +141,15 @@ class SAModuleMSG(nn.Module):
             grp_idx, grp_valid = jax.vmap(
                 lambda c, p, m, r=r, max_nn=max_nn: nbk.radius_group(c, p, r, max_nn, m)
             )(new_pos, pos, mask)
-            p_j = jax.vmap(lambda p, g: p[g])(pos, grp_idx)
-            rel = p_j - new_pos[:, :, None, :]
             if x is None:
-                feat_in = rel
+                p_j = gather_rows(pos, grp_idx, train)
+                feat_in = p_j - new_pos[:, :, None, :]
             else:
-                x_j = jax.vmap(lambda f, g: f[g])(x, grp_idx)
-                feat_in = jnp.concatenate([x_j, rel], axis=-1)
+                g = gather_rows(jnp.concatenate([x, pos], axis=-1),
+                                grp_idx, train)
+                C = x.shape[-1]
+                rel = g[..., C:] - new_pos[:, :, None, :]
+                feat_in = jnp.concatenate([g[..., :C], rel], axis=-1)
             grp_valid = grp_valid & new_mask[:, :, None]
             msg = MLP(list(chans), axis_name=self.axis_name, name=f"conv_{s}")(
                 feat_in, grp_valid, train
