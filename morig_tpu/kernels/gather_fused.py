@@ -54,7 +54,14 @@ def hilo_pack(values: jax.Array) -> jax.Array:
 
 
 def _gather_kernel(idx_ref, vhl_ref, out_ref, *, N, C):
-    idx = idx_ref[0]                                     # (TM,) int32
+    # idx arrives as an 8-sublane row group — the smallest legal VMEM block
+    # for an int32 array (Mosaic requires the last-two block dims divisible
+    # by (8, 128) or equal to the array dims; a (1, TM) block of (B, Mp) is
+    # rejected on hardware and 1D blocks hit XLA/Mosaic minor-tiling
+    # mismatches — interpret-mode tests enforce neither).  One dynamic
+    # sublane read picks this program's row; refetch cost is 8x the idx
+    # bytes (~0.2 ms/GB-scale call), vs B x for a full-batch block.
+    idx = idx_ref[0, pl.program_id(0) % 8]               # (TM,) int32
     TM = idx.shape[0]
     # one-hot built TRANSPOSED (candidates on sublanes, gather rows on
     # lanes): the idx block then stays (1, TM) — a plain 2D slice of the
@@ -69,10 +76,10 @@ def _gather_kernel(idx_ref, vhl_ref, out_ref, *, N, C):
 
 
 def _pick_tm(M, N, C):
-    """Largest m-tile whose one-hot + output fit the VMEM budget."""
+    """Largest m-tile whose one-hot + output + idx row group fit VMEM."""
     tm = 4096
     while tm > 128 and (tm * N * 2 + tm * C * 4 + 2 * N * 2 * C * 2
-                        > _VMEM_BUDGET or tm > M):
+                        + 8 * tm * 4 > _VMEM_BUDGET or tm > M):
         tm //= 2
     return max(tm, 128)
 
@@ -85,12 +92,15 @@ def _gather_fused_raw(values, idx, interpret: bool = False):
     vhl = hilo_pack(values)                              # (B, N, 2C)
     TM = _pick_tm(M, N, C)
     Mp = -(-M // TM) * TM
-    idx_p = jnp.pad(idx, ((0, 0), (0, Mp - M)))              # (B, Mp)
+    Bp = -(-B // 8) * 8
+    idx_p = jnp.pad(idx, ((0, Bp - B), (0, Mp - M)))         # (Bp, Mp)
+    idx_g = idx_p.reshape(Bp // 8, 8, Mp)                    # 8-row groups
+    G = Mp // TM
     out = pl.pallas_call(
         functools.partial(_gather_kernel, N=N, C=C),
-        grid=(B, Mp // TM),
+        grid=(B, G),
         in_specs=[
-            pl.BlockSpec((1, TM), lambda b, m: (b, m),
+            pl.BlockSpec((1, 8, TM), lambda b, m: (b // 8, 0, m),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 2 * C), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -99,7 +109,7 @@ def _gather_fused_raw(values, idx, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Mp, C), jnp.float32),
         interpret=interpret,
-    )(idx_p, vhl)
+    )(idx_g, vhl)
     return out[:, :M]
 
 

@@ -49,6 +49,49 @@ def batched_chamfer_with_average(p1, p2, mask1, mask2) -> jax.Array:
     return jnp.mean(per)
 
 
+def chamfer_directional(
+    p1: jax.Array, p2: jax.Array,
+    mask1: jax.Array | None = None, mask2: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """The two halves of chamfer_with_average, unaveraged.
+
+    Returns (mean over p1 of min-dist to p2, mean over p2 of min-dist to p1).
+    The second term is the coverage/"recall" direction when p2 is a GT joint
+    set: every GT joint must attract some predicted point.  Exposing the two
+    directions lets training weight joint coverage above placement precision
+    (the reference fixes them equal, customized_losses.py:248-250)."""
+    d = jnp.sqrt(jnp.maximum(pairwise_sqdist(p1, p2), 1e-12))
+    dm = d if mask2 is None else jnp.where(mask2[None, :], d, POS)
+    d1 = jnp.min(dm, axis=1)
+    if mask1 is not None:
+        m1 = mask1.astype(d.dtype)
+        mean1 = jnp.sum(d1 * m1) / jnp.maximum(m1.sum(), 1.0)
+    else:
+        mean1 = jnp.mean(d1)
+    d_t = d if mask1 is None else jnp.where(mask1[:, None], d, POS)
+    d2 = jnp.min(d_t, axis=0)
+    if mask2 is not None:
+        m2 = mask2.astype(d.dtype)
+        mean2 = jnp.sum(d2 * m2) / jnp.maximum(m2.sum(), 1.0)
+    else:
+        mean2 = jnp.mean(d2)
+    return mean1, mean2
+
+
+def masked_l1_weighted(pred: jax.Array, target: jax.Array, mask: jax.Array,
+                       weights: jax.Array) -> jax.Array:
+    """masked_l1 with a per-element scalar weight (same shape as mask).
+
+    Weighted mean: sum(w*m*|err|) / sum(w*m*dims) — reduces to masked_l1 at
+    weights==1."""
+    m = mask.astype(pred.dtype) * weights.astype(pred.dtype)
+    while m.ndim < pred.ndim:
+        m = m[..., None]
+    num = jnp.sum(jnp.abs(pred - target) * m)
+    den = jnp.sum(jnp.broadcast_to(m, pred.shape))
+    return num / jnp.maximum(den, 1.0)
+
+
 def cross_entropy_with_probs(
     logits: jax.Array, target_probs: jax.Array, weight: jax.Array | None = None,
 ) -> jax.Array:

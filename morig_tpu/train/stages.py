@@ -18,9 +18,12 @@ from morig_tpu.core.config import Config, DEFAULT_CONFIG
 from morig_tpu.losses.basic import (
     batched_chamfer_with_average,
     bce_with_logits,
+    chamfer_directional,
     cross_entropy_with_probs,
     masked_l1,
+    masked_l1_weighted,
 )
+from morig_tpu.kernels.neighbors import pairwise_sqdist
 from morig_tpu.losses.nce import info_nce, multi_pos_info_nce
 from morig_tpu.nn.corrnet import CorrNet
 from morig_tpu.nn.deformnet import DeformNet
@@ -265,11 +268,24 @@ class RigStage:
 
     def __init__(self, cfg: Config = DEFAULT_CONFIG, arch: str = "jointnet",
                  num_embed_sample: int = 512, width_scale: float = 1.0,
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None,
+                 dense_weight: float = 0.0, dense_sigma: float = 0.07,
+                 recall_weight: float = 1.0):
         assert arch in ("jointnet", "masknet")
         self.cfg = cfg
         self.arch = arch
         self.num_embed_sample = num_embed_sample
+        # Recall-oriented jointnet loss knobs (defaults = exact reference
+        # semantics, train_rig.py:176-183).  dense_weight>0 upweights the
+        # offset-L1 of vertices whose nearest GT joint sits in a crowded
+        # region (another joint within ~dense_sigma), attacking the merged
+        # shoulder-cluster failure where averaged shifts collapse two close
+        # joints into one mean-shift mode.  recall_weight>1 upweights the
+        # joints->shifted-points chamfer direction so an uncovered GT joint
+        # costs more than an imprecisely-placed one.
+        self.dense_weight = dense_weight
+        self.dense_sigma = dense_sigma
+        self.recall_weight = recall_weight
         cls = JointNetMotion if arch == "jointnet" else MaskNetMotion
         self.model = cls(
             num_keyframes=cfg.model.num_keyframes,
@@ -316,10 +332,41 @@ class RigStage:
         if self.arch == "jointnet":
             disp = jnp.tanh(pred)
             y_pred = disp + batch.mesh.verts
-            loss_chamfer = batched_chamfer_with_average(
-                y_pred, batch.joints, batch.mesh.vert_mask, batch.joints_mask
-            )
-            loss_l1 = masked_l1(disp, batch.offsets, batch.mesh.vert_mask)
+            if self.recall_weight != 1.0:
+                m_prec, m_cov = jax.vmap(chamfer_directional)(
+                    y_pred, batch.joints, batch.mesh.vert_mask, batch.joints_mask
+                )
+                # normalized so recall_weight=1 reproduces chamfer_with_average
+                w = self.recall_weight
+                loss_chamfer = jnp.mean((m_prec + w * m_cov) / (1.0 + w))
+            else:
+                loss_chamfer = batched_chamfer_with_average(
+                    y_pred, batch.joints, batch.mesh.vert_mask, batch.joints_mask
+                )
+            if self.dense_weight > 0.0:
+                # per-GT-joint isolation: distance to its nearest other joint
+                def crowding(joints, jmask, offsets, verts):
+                    d = jnp.sqrt(jnp.maximum(
+                        pairwise_sqdist(joints, joints), 1e-12))
+                    big = 1e6
+                    d = jnp.where(jmask[None, :] & jmask[:, None], d, big)
+                    d = jnp.where(jnp.eye(d.shape[0], dtype=bool), big, d)
+                    iso = jnp.min(d, axis=1)                       # (J,)
+                    tgt = verts + offsets                          # (V, 3) nearest joint
+                    dvj = pairwise_sqdist(tgt, joints)
+                    dvj = jnp.where(jmask[None, :], dvj, big)
+                    nearest = jnp.argmin(dvj, axis=1)              # (V,)
+                    return iso[nearest]                            # (V,)
+
+                iso_v = jax.vmap(crowding)(
+                    batch.joints, batch.joints_mask, batch.offsets,
+                    batch.mesh.verts)
+                wts = 1.0 + self.dense_weight * jnp.exp(
+                    -iso_v / self.dense_sigma)
+                loss_l1 = masked_l1_weighted(
+                    disp, batch.offsets, batch.mesh.vert_mask, wts)
+            else:
+                loss_l1 = masked_l1(disp, batch.offsets, batch.mesh.vert_mask)
             total = 0.1 * loss_embed + loss_chamfer + loss_l1
             return total, dict(loss_chamfer=loss_chamfer, loss_l1=loss_l1,
                                loss_motion=0.1 * loss_embed, total_loss=total)

@@ -137,15 +137,45 @@ def train_stage(stage, name, out_dir, batch_fn, epochs, seed=0, resume_state=Non
     return state
 
 
+_BEAT_DIR: str | None = None
+
+
+def beat(tag: str = "") -> None:
+    """Touch <dir>/.alive from the MAIN thread at phase boundaries.
+
+    The run_campaign.sh watchdog treats "no file written in $DIR for
+    STALE_S" as a wedged tunnel RPC.  Training phases write checkpoints and
+    metrics.jsonl every epoch, but dataset generation, pred-flow dumps and
+    the final eval can legitimately go >STALE_S without a write (ADVICE r4
+    #4: healthy processes were killable).  Explicit main-thread beats at
+    those boundaries keep the dir fresh; a wedged main thread stops beating
+    (a daemon-timer heartbeat would NOT — it keeps running while the main
+    thread blocks on a dead socket, which is exactly the failure the
+    watchdog exists to catch)."""
+    if _BEAT_DIR is None:
+        return
+    try:
+        with open(os.path.join(_BEAT_DIR, ".alive"), "w") as f:
+            f.write(f"{time.time():.0f} {tag}\n")
+    except OSError:
+        pass
+
+
 def main():
+    global _BEAT_DIR
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="campaign_out")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--train-creatures", type=int, default=len(TRAIN_SEEDS))
+    # Recall-oriented jointnet loss (VERDICT r4 next #5): 0/1 = exact
+    # reference semantics (train_rig.py:176-183); campaign v4 runs 3.0/2.0.
+    ap.add_argument("--dense-weight", type=float, default=0.0)
+    ap.add_argument("--recall-weight", type=float, default=1.0)
     args = ap.parse_args()
     os.makedirs(args.dir, exist_ok=True)
+    _BEAT_DIR = args.dir
 
     from morig_tpu.data.creature import (
         creature_pose_dataset, creature_rig_dataset, creature_skel_dataset,
@@ -170,8 +200,10 @@ def main():
         # rig/skin/skel were still improving at the round-3 v1 caps (best
         # epoch == last); corr overfit its 12-creature set by epoch ~70, so
         # more DATA (--train-creatures) is its lever, not more epochs.
+        # rig raised 300->420 for v4: joints best@298 of 300 in v3 — still
+        # improving at the cap; patience 120 stops it if converged earlier
         E = dict(corr=int(200 * s), deform=int(220 * s),
-                 deform_seq=int(150 * s), rig=int(300 * s),
+                 deform_seq=int(150 * s), rig=int(420 * s),
                  skin=int(300 * s), skel=int(240 * s))
         # convergence-measured patience (campaign v2 metrics.jsonl):
         #  * deform_seq best@22 is CONVERGENCE, not failure — sequential
@@ -191,6 +223,7 @@ def main():
     t_all = time.time()
 
     # ---- datasets ---------------------------------------------------------
+    beat("datasets")
     print("[campaign] generating creatures ...")
 
     def pose_ds(seeds):
@@ -305,6 +338,7 @@ def main():
             print(f"[campaign] pred_flows.npz unreadable ({e}); regenerating")
             flows_tr = None
     if flows_tr is None:
+        beat("pred_flow_dumps")
         t0 = time.time()
         flows_tr = pred_flow_for(pose_tr)
         flows_val = pred_flow_for(pose_val)
@@ -329,7 +363,9 @@ def main():
 
     # ---- stages 3-4: joints + mask ----------------------------------------
     nes = min(512, rig_tr.pad_verts)
-    joint = RigStage(arch="jointnet", num_embed_sample=nes)
+    joint = RigStage(arch="jointnet", num_embed_sample=nes,
+                     dense_weight=args.dense_weight,
+                     recall_weight=args.recall_weight)
     mask = RigStage(arch="masknet", num_embed_sample=nes)
 
     def rig_batches(rng, train=True):
@@ -377,27 +413,25 @@ def main():
     # (tools/sweep_joint_params.py); held-out numbers stay honest because the
     # sweep never saw the test seeds.  Falls back to the reference defaults
     # (eval_rigging.py:80-95) when no sweep result exists.
-    pred_cfg = DEFAULT_CONFIG
+    # Two joint-extraction configs, reported CO-EQUALLY (VERDICT r4 weak
+    # #4): "default" = reference thresholds (eval_rigging.py:80-95),
+    # "tuned" = validation-creature sweep (tools/sweep_joint_params.py),
+    # FROZEN from the previous campaign — never re-tuned on test seeds.
+    import dataclasses as dc
+
+    cfgs = {"default": DEFAULT_CONFIG}
     sweep_path = os.path.join(args.dir, "joint_sweep_result.json")
     if os.path.exists(sweep_path):
-        import dataclasses as dc
-
         with open(sweep_path) as f:
             tuned = json.load(f)["best"]
-        pred_cfg = dc.replace(
-            pred_cfg, joints=dc.replace(pred_cfg.joints, **tuned))
+        cfgs["tuned"] = dc.replace(
+            DEFAULT_CONFIG, joints=dc.replace(DEFAULT_CONFIG.joints, **tuned))
         print(f"[campaign] joint extraction thresholds from sweep: {tuned}")
-
-    predictor = RigPredictor(
-        deform, deform_state, joint, joint_state, mask, mask_state,
-        root, root_state, bone, bone_state, skin, skin_state,
-        cfg=pred_cfg,
-    )
 
     res_dir = os.path.join(args.dir, "results")
     os.makedirs(res_dir, exist_ok=True)
+    beat("eval_rig_predict")
     t0 = time.time()
-    per_model = []
     entries = [rig_te._mesh_cache[i] for i in range(len(test_seeds))]
     pts_list = [np.stack([pose_te.models[i].pts_traj[:, t, :] for t in range(1, 6)])
                 for i in range(len(test_seeds))]
@@ -411,34 +445,51 @@ def main():
         c = make_creature(s_, target_verts=tv)
         voxes.append(voxelize_mesh(c.verts, c.faces))
         surf_geos.append(surface_geodesic(c.verts, c.faces))
-    rigs = predictor.predict_rig_batch(entries, pts_list, voxes=voxes,
-                                       surf_geos=surf_geos)
-    for i, s_ in enumerate(test_seeds):
-        m = rig_te.models[i]
-        gt = m.rig
-        pred = rigs[i]
-        # per-GT-joint feature size: half the distance to the nearest other
-        # joint, floored at 0.03 (stand-in for the reference's per-model
-        # feature_size files, eval_rigging.py:111-121)
-        dj = np.linalg.norm(gt.pos[:, None] - gt.pos[None], axis=-1)
-        np.fill_diagonal(dj, np.inf)
-        fs = np.clip(0.5 * dj.min(1), 0.03, 0.10)
-        jm = joint_match_metrics(pred.pos, gt.pos, fs)
-        # artifacts for the results-folder eval CLI
-        pred.save(os.path.join(res_dir, f"creature{s_}_rig.txt"))
-        gt_path = os.path.join(res_dir, f"creature{s_}_gt_rig.txt")
-        sk.Rig(names=list(gt.names), pos=gt.pos, parents=gt.parents,
-               skins=gt.skins).save(gt_path)
-        per_model.append(dict(seed=s_, num_pred_joints=int(pred.num_joints),
-                              num_gt_joints=int(gt.num_joints), **jm))
-        print(f"[campaign] creature{s_}: J_pred={pred.num_joints} "
-              f"J_gt={gt.num_joints} IoU={jm['joint_IoU']:.3f} "
-              f"P={jm['joint_precision']:.3f} R={jm['joint_recall']:.3f} "
-              f"CD={jm['chamfer_j2j']:.4f}")
+
+    per_model_by_cfg = {}
+    for cfg_name, pred_cfg in cfgs.items():
+        predictor = RigPredictor(
+            deform, deform_state, joint, joint_state, mask, mask_state,
+            root, root_state, bone, bone_state, skin, skin_state,
+            cfg=pred_cfg,
+        )
+        beat(f"eval_rig_predict_{cfg_name}")
+        rigs = predictor.predict_rig_batch(entries, pts_list, voxes=voxes,
+                                           surf_geos=surf_geos)
+        pm = []
+        for i, s_ in enumerate(test_seeds):
+            m = rig_te.models[i]
+            gt = m.rig
+            pred = rigs[i]
+            # per-GT-joint feature size: half the distance to the nearest
+            # other joint, floored at 0.03 (stand-in for the reference's
+            # per-model feature_size files, eval_rigging.py:111-121)
+            dj = np.linalg.norm(gt.pos[:, None] - gt.pos[None], axis=-1)
+            np.fill_diagonal(dj, np.inf)
+            fs = np.clip(0.5 * dj.min(1), 0.03, 0.10)
+            jm = joint_match_metrics(pred.pos, gt.pos, fs)
+            if cfg_name != "default":   # headline artifacts from tuned cfg
+                pred.save(os.path.join(res_dir, f"creature{s_}_rig.txt"))
+                gt_path = os.path.join(res_dir, f"creature{s_}_gt_rig.txt")
+                sk.Rig(names=list(gt.names), pos=gt.pos, parents=gt.parents,
+                       skins=gt.skins).save(gt_path)
+            pm.append(dict(seed=s_, num_pred_joints=int(pred.num_joints),
+                           num_gt_joints=int(gt.num_joints), **jm))
+            print(f"[campaign] [{cfg_name}] creature{s_}: "
+                  f"J_pred={pred.num_joints} "
+                  f"J_gt={gt.num_joints} IoU={jm['joint_IoU']:.3f} "
+                  f"P={jm['joint_precision']:.3f} R={jm['joint_recall']:.3f} "
+                  f"CD={jm['chamfer_j2j']:.4f}")
+        per_model_by_cfg[cfg_name] = pm
+    per_model = per_model_by_cfg.get("tuned", per_model_by_cfg["default"])
+    if "tuned" not in per_model_by_cfg:     # no sweep file: defaults are the
+        for s_i, m_i in enumerate(per_model):        # headline AND artifacts
+            pass
     print(f"[campaign] rig prediction on {len(test_seeds)} held-out in "
           f"{time.time()-t0:.0f}s")
 
     # skin quality on the GT skeleton (train_skin.py eval semantics)
+    beat("eval_skin")
     skin_l1s = []
     for i in range(len(test_seeds)):
         b = rig_te.batch([i])
@@ -466,15 +517,27 @@ def main():
                     parents=c.parents, skins=c.skins)
     entry = B.build_mesh(c.verts, seq["tpl_edges"], seq["geo_edges"],
                          B.bucket_size(len(c.verts), (1024, 2048, 4096)))
-    # tracking drives the SEQUENTIAL deform model (eval_tracking.py:21)
-    tracker = Tracker(deform_seq, deform_seq_state, gt_rig, entry)
-    run_tracker = make_scanned_tracker(tracker)
-    t0 = time.time()
-    traj, vis, quats = run_tracker(c.verts, seq["pts_traj"])
-    terr = flow_errors(traj, seq["vtx_traj"][:, 1:, :], seq["vismask"][:, 1:])
-    np.savez(os.path.join(res_dir, f"creature{test_seeds[0]}_tracking.npz"),
-             pred_vtx_traj=traj, pred_vismask=vis, pred_quats=quats)
-    print(f"[campaign] tracking: {terr} ({time.time()-t0:.0f}s)")
+    # tracking drives the SEQUENTIAL deform model (eval_tracking.py:21);
+    # the DISCRETE-keyframe checkpoint runs as an ablation on the same data
+    # (VERDICT r4 next #6: does seq training actually beat discrete for
+    # tracking, or was v1-vs-v3 a data-scale artifact?)
+    beat("eval_tracking")
+    terrs = {}
+    for ab_name, ab_state in (("seq", deform_seq_state),
+                              ("discrete", deform_state)):
+        tracker = Tracker(deform_seq, ab_state, gt_rig, entry)
+        run_tracker = make_scanned_tracker(tracker)
+        t0 = time.time()
+        traj, vis, quats = run_tracker(c.verts, seq["pts_traj"])
+        terrs[ab_name] = flow_errors(traj, seq["vtx_traj"][:, 1:, :],
+                                     seq["vismask"][:, 1:])
+        if ab_name == "seq":
+            np.savez(os.path.join(res_dir,
+                                  f"creature{test_seeds[0]}_tracking.npz"),
+                     pred_vtx_traj=traj, pred_vismask=vis, pred_quats=quats)
+        print(f"[campaign] tracking[{ab_name}]: {terrs[ab_name]} "
+              f"({time.time()-t0:.0f}s)")
+    terr = terrs["seq"]
 
     summary = dict(
         config=dict(train=len(train_seeds), val=len(val_seeds), test=len(test_seeds),
@@ -488,7 +551,11 @@ def main():
             skin_l1=float(np.mean(skin_l1s)),
             tracking_full_flow_error=terr["full_flow_error"],
             tracking_vis_flow_error=terr.get("vis_flow_error"),
+            tracking_full_flow_error_discrete=terrs["discrete"]["full_flow_error"],
+            tracking_vis_flow_error_discrete=terrs["discrete"].get("vis_flow_error"),
         ),
+        loss_knobs=dict(dense_weight=args.dense_weight,
+                        recall_weight=args.recall_weight),
         total_seconds=time.time() - t_all,
     )
     with open(os.path.join(args.dir, "campaign_summary.json"), "w") as f:

@@ -7,10 +7,14 @@
 # socket read FOREVER (observed twice on the mask stage — the worker
 # restarted mid-chunk and the reply never came).  A wall-clock timeout can't
 # distinguish that hang from legitimate hours of training, so instead we
-# watch the campaign dir: every stage checkpoints at least once per scanned
-# chunk (<= ~8 min), so "no file written in STALE_S seconds" means a wedged
-# client.  Kill it (by the recorded PID — never by pattern) and retry; the
-# per-epoch crash resume continues from the last checkpoint.
+# watch the campaign dir: training writes checkpoints/metrics every epoch,
+# and campaign.py additionally touches $DIR/.alive from its MAIN thread at
+# the boundaries of every write-quiet phase (dataset gen, pred-flow dumps,
+# final eval — ADVICE r4 #4: those phases got healthy processes killed).
+# "No file in $DIR newer than STALE_S" therefore means a wedged client:
+# a blocked main thread can't beat.  Kill it (by the recorded PID — never
+# by pattern) and retry; per-epoch crash resume continues from the last
+# checkpoint.
 set -u
 DIR="${1:-campaign_out}"
 STALE_S="${STALE_S:-900}"

@@ -182,8 +182,12 @@ def run_torch(out_dir):
         return loss / 10
 
     def chamfer_avg(a, b):
+        # 0.5*(mean+mean): exact reference chamfer_distance_with_average
+        # (customized_losses.py:248-250).  Round-4 harness omitted the 0.5,
+        # doubling the chamfer term vs both the reference recipe and the
+        # jax side (VERDICT r4 next #4: head-to-head asymmetry).
         d = torch.cdist(a, b)
-        return d.min(1)[0].mean() + d.min(0)[0].mean()
+        return 0.5 * (d.min(1)[0].mean() + d.min(0)[0].mean())
 
     _, train_models = make_models(CFG["train_models"], CFG["train_seed"])
     _, test_models = make_models(CFG["test_models"], CFG["test_seed"])
@@ -198,16 +202,25 @@ def run_torch(out_dir):
     gen = torch.Generator().manual_seed(7)
     results = {}
     t_all = time.time()
-    for arch in ("jointnet", "masknet", "skin"):
+    archs = CFG.get("archs", ("jointnet", "masknet", "skin"))
+    for arch in archs:
         model = SkinNet() if arch == "skin" else JointNet(3 if arch == "jointnet" else 1)
         opt = torch.optim.Adam(model.parameters(), lr=CFG["lr"],
                                weight_decay=1e-4)
         sched = torch.optim.lr_scheduler.MultiStepLR(
             opt, milestones=list(CFG["milestones"]), gamma=CFG["gamma"])
         t0 = time.time()
+        # convergence evidence + best-epoch selection (VERDICT r4 next #4:
+        # "equal budget is asserted, not shown"): per-epoch mean train loss
+        # to a JSONL curve, and the evaluated weights are the best epoch's —
+        # mirroring the jax side's best-on-val checkpointing.
+        curve_path = os.path.join(out_dir, f"torch_{arch}_metrics.jsonl")
+        curve_f = open(curve_path, "w")
+        best_loss, best_state, best_epoch = float("inf"), None, -1
         for epoch in range(CFG["epochs"]):
             model.train()
             order = torch.randperm(len(train_models), generator=gen).tolist()
+            ep_losses = []
             for i0 in range(0, len(order), CFG["batch_size"]):
                 opt.zero_grad()
                 chunk = order[i0:i0 + CFG["batch_size"]]
@@ -249,10 +262,24 @@ def run_torch(out_dir):
                     loss_acc = loss_acc + loss / len(chunk)
                 loss_acc.backward()
                 opt.step()
+                ep_losses.append(float(loss_acc))
             sched.step()
+            ep_mean = float(np.mean(ep_losses))
+            curve_f.write(json.dumps(dict(epoch=epoch, train_loss=ep_mean,
+                                          wall_s=time.time() - t0)) + "\n")
+            curve_f.flush()
+            if ep_mean < best_loss:
+                best_loss, best_epoch = ep_mean, epoch
+                best_state = {k: v.detach().clone()
+                              for k, v in model.state_dict().items()}
             if epoch % 10 == 0 or epoch == CFG["epochs"] - 1:
-                print(f"[torch {arch}] epoch {epoch} loss {float(loss_acc):.4f} "
+                print(f"[torch {arch}] epoch {epoch} loss {ep_mean:.4f} "
                       f"({time.time()-t0:.0f}s)", flush=True)
+        curve_f.close()
+        if best_state is not None:
+            model.load_state_dict(best_state)
+        print(f"[torch {arch}] best epoch {best_epoch} loss {best_loss:.4f}",
+              flush=True)
         # held-out eval (input = pred_flow, the deployment condition)
         model.eval()
         with torch.no_grad():
@@ -275,7 +302,8 @@ def run_torch(out_dir):
                     attns = [torch.sigmoid(o[:, 0]).numpy() for o in outs]
                     np.savez(os.path.join(out_dir, "torch_attn.npz"),
                              **{f"a{i}": a for i, a in enumerate(attns)})
-        results[arch] = dict(seconds=time.time() - t0)
+        results[arch] = dict(seconds=time.time() - t0,
+                             best_epoch=best_epoch, best_loss=best_loss)
     results["total_seconds"] = time.time() - t_all
     with open(os.path.join(out_dir, "torch_train.json"), "w") as f:
         json.dump(results, f, indent=2)
@@ -390,9 +418,19 @@ def main():
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--out", default="results/headtohead")
     ap.add_argument("--epochs", type=int)
+    ap.add_argument("--width", type=float,
+                    help="override width_scale (diagnostic: 1.0)")
+    ap.add_argument("--train-models", type=int)
+    ap.add_argument("--archs", help="comma list, e.g. jointnet,masknet")
     args = ap.parse_args()
     if args.epochs:
         CFG["epochs"] = args.epochs
+    if args.width:
+        CFG["width_scale"] = args.width
+    if args.train_models:
+        CFG["train_models"] = args.train_models
+    if args.archs:
+        CFG["archs"] = tuple(args.archs.split(","))
     os.makedirs(args.out, exist_ok=True)
     if args.side == "torch":
         run_torch(args.out)
