@@ -1,6 +1,6 @@
 """Render a campaign_summary.json as the docs/PARITY.md results table.
 
-  python tools/record_campaign.py --dir campaign_v2
+  python tools/record_campaign.py --dir campaign_v4
 
 Prints the per-creature markdown table + mean row (eval_rigging.py:111-131
 metric set) ready to paste into docs/PARITY.md "Measured results".
@@ -14,7 +14,7 @@ import os
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="campaign_v2")
+    ap.add_argument("--dir", default="campaign_v4")
     args = ap.parse_args()
 
     with open(os.path.join(args.dir, "campaign_summary.json")) as f:
