@@ -280,28 +280,48 @@ def run_torch(out_dir):
             model.load_state_dict(best_state)
         print(f"[torch {arch}] best epoch {best_epoch} loss {best_loss:.4f}",
               flush=True)
-        # held-out eval (input = pred_flow, the deployment condition)
-        model.eval()
-        with torch.no_grad():
-            if arch == "skin":
-                probs = [torch.softmax(model(m["verts"], m["skin_input"],
-                                             m["pred_flow"], m["tpl"], m["geo"])[2],
-                                       -1).numpy()
-                         for m in test_models]
-                np.savez(os.path.join(out_dir, "torch_skin.npz"),
-                         **{f"p{i}": p for i, p in enumerate(probs)})
-            else:
-                outs = [model(m["verts"], m["pred_flow"], m["tpl"], m["geo"])[2]
+        torch.save(model.state_dict(),
+                   os.path.join(out_dir, f"torch_{arch}_best.pt"))
+        # held-out eval (input = pred_flow, the deployment condition), in
+        # BOTH BatchNorm modes:
+        #   "" (eval)   — running stats accumulated over the 8 training
+        #                 meshes, the reference's deployment semantics
+        #                 (models/basic_modules.py BatchNorm1d use);
+        #   "_bnbatch"  — per-mesh batch statistics (only the BN layers are
+        #                 flipped to train mode; dropout stays off).
+        # The delta between the two isolates whether a bad eval-mode result
+        # is a BN-statistics transfer failure (the net learned fine but the
+        # running stats don't match held-out meshes at 8-training-mesh
+        # scale) or genuine undertraining (both modes bad).
+        for tag in ("", "_bnbatch"):
+            model.eval()
+            if tag:
+                for mod in model.modules():
+                    if isinstance(mod, nn.BatchNorm1d):
+                        mod.train()
+            with torch.no_grad():
+                if arch == "skin":
+                    probs = [torch.softmax(
+                        model(m["verts"], m["skin_input"], m["pred_flow"],
+                              m["tpl"], m["geo"])[2], -1).numpy()
                         for m in test_models]
-                if arch == "jointnet":
-                    shifted = [(m["verts"] + torch.tanh(o)).numpy()
-                               for m, o in zip(test_models, outs)]
-                    np.savez(os.path.join(out_dir, "torch_shift.npz"),
-                             **{f"s{i}": s for i, s in enumerate(shifted)})
+                    np.savez(os.path.join(out_dir, f"torch_skin{tag}.npz"),
+                             **{f"p{i}": p for i, p in enumerate(probs)})
                 else:
-                    attns = [torch.sigmoid(o[:, 0]).numpy() for o in outs]
-                    np.savez(os.path.join(out_dir, "torch_attn.npz"),
-                             **{f"a{i}": a for i, a in enumerate(attns)})
+                    outs = [model(m["verts"], m["pred_flow"], m["tpl"],
+                                  m["geo"])[2]
+                            for m in test_models]
+                    if arch == "jointnet":
+                        shifted = [(m["verts"] + torch.tanh(o)).numpy()
+                                   for m, o in zip(test_models, outs)]
+                        np.savez(os.path.join(out_dir,
+                                              f"torch_shift{tag}.npz"),
+                                 **{f"s{i}": s for i, s in enumerate(shifted)})
+                    else:
+                        attns = [torch.sigmoid(o[:, 0]).numpy() for o in outs]
+                        np.savez(os.path.join(out_dir,
+                                              f"torch_attn{tag}.npz"),
+                                 **{f"a{i}": a for i, a in enumerate(attns)})
         results[arch] = dict(seconds=time.time() - t0,
                              best_epoch=best_epoch, best_loss=best_loss)
     results["total_seconds"] = time.time() - t_all
@@ -391,11 +411,16 @@ def run_jax(out_dir):
 def report(out_dir):
     _, test_models = make_models(CFG["test_models"], CFG["test_seed"])
     out = {"config": CFG}
-    for side in ("torch", "jax"):
+    # "torch_bnbatch" = the same trained torch weights evaluated with
+    # per-mesh BatchNorm statistics instead of training-set running stats
+    # (see run_torch): the diagnostic condition for the BN-transfer defect.
+    for side in ("torch", "torch_bnbatch", "jax"):
+        stem, suffix = (("torch", "_bnbatch") if side == "torch_bnbatch"
+                        else (side, ""))
         try:
-            zs = np.load(os.path.join(out_dir, f"{side}_shift.npz"))
-            za = np.load(os.path.join(out_dir, f"{side}_attn.npz"))
-            zp = np.load(os.path.join(out_dir, f"{side}_skin.npz"))
+            zs = np.load(os.path.join(out_dir, f"{stem}_shift{suffix}.npz"))
+            za = np.load(os.path.join(out_dir, f"{stem}_attn{suffix}.npz"))
+            zp = np.load(os.path.join(out_dir, f"{stem}_skin{suffix}.npz"))
         except FileNotFoundError:
             print(f"[report] {side}: outputs missing, skipped")
             continue
