@@ -306,7 +306,14 @@ def main():
     seq = track_seq
     track_rig = sk.Rig(names=list(cap.names), pos=cap.joints.astype(float),
                        parents=cap.parents, skins=cap.skins)
-    if _remaining(args.deadline) > 45:
+    # Any phase below may fail on a new shape (e.g. a kernel VMEM limit at a
+    # bucket size phase A never exercises); a phase failure must never lose
+    # the phases already recorded in _RESULT (round-5 lesson: a bucket-4096
+    # compile error crashed the whole bench before the JSON line printed).
+    if _remaining(args.deadline) <= 45:
+        print("  [bench] skipping phase B2 (deadline)", file=sys.stderr)
+    else:
+      try:
         from morig_tpu.pipelines.tracking import BatchedTracker
 
         if args.smoke:
@@ -358,8 +365,9 @@ def main():
             "tracked_batch_kind": "capsule" if args.smoke else "creatures",
             "mfu_track_batched_pct": round(100 * mfu_btrack, 2),
         })
-    else:
-        print("  [bench] skipping phase B2 (deadline)", file=sys.stderr)
+      except Exception as e:                                  # noqa: BLE001
+        print(f"  [bench] phase B2 FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # ---- phase C: realistic-size creature batches per V bucket ----
     # ModelsResources meshes span ~1k-5k verts; the capsule fixture exercises
@@ -382,52 +390,81 @@ def main():
                       file=sys.stderr)
                 break
             t_bucket = time.monotonic()
-            cseq = make_creature_sequence(seed=7, num_frames=T + 1,
-                                          num_points=1024, target_verts=tv,
-                                          res=res)
-            cr = cseq["rig"]
-            # RCM-reorder: bounds neighbor index distance by the graph
-            # bandwidth so the windowed kernel's halo precondition holds
-            order = rcm_vertex_order(len(cr.verts), cseq["tpl_edges"],
-                                     cseq["geo_edges"])
-            inv = np.empty_like(order)
-            inv[order] = np.arange(len(order))
-            cverts, ctpl, cgeo = apply_vertex_order(
-                order, cr.verts, cseq["tpl_edges"], cseq["geo_edges"])
-            cfaces = inv[cr.faces]
-            centry = B.build_mesh(cverts, ctpl, cgeo, bucket,
-                                  tpl_max_degree=12, geo_max_degree=12)
-            NBk = 8
-            cvox = voxelize_mesh(cverts, cfaces, dims=88)
-            csurf = surface_geodesic(cverts, cfaces)
-            cpts = [np.transpose(cseq["pts_traj"][:, 1:T + 1, :], (1, 0, 2))] * NBk
-            # per-bucket kernel selection: the windowed kernel's one-hot
-            # gather scratch is (D*TV, 3*TV) — only TV=128 fits the 16 MB
-            # scoped-VMEM budget at H=256; full-table fused only where its
-            # V-wide gather fits (V <= 2048); XLA otherwise
-            gcu.auto_select_edge_impl([centry], tile_v=128)
-            pk = RigPredictor(
-                deform, predictor.deform_state, joint, predictor.joint_state,
-                mask, predictor.mask_state, root, predictor.root_state,
-                bone, predictor.bone_state, skin, predictor.skin_state,
-            )
-            ck: dict = {}
-            pk.predict_rig_batch([centry] * NBk, cpts, voxes=[cvox] * NBk,
-                                 surf_geos=[csurf] * NBk, device_cache=ck)
-            t0 = time.perf_counter()
-            n_it = 3
-            for _ in range(n_it):
+            try:
+                cseq = make_creature_sequence(seed=7, num_frames=T + 1,
+                                              num_points=1024, target_verts=tv,
+                                              res=res)
+                cr = cseq["rig"]
+                # RCM-reorder: bounds neighbor index distance by the graph
+                # bandwidth so the windowed kernel's halo precondition holds
+                order = rcm_vertex_order(len(cr.verts), cseq["tpl_edges"],
+                                         cseq["geo_edges"])
+                inv = np.empty_like(order)
+                inv[order] = np.arange(len(order))
+                cverts, ctpl, cgeo = apply_vertex_order(
+                    order, cr.verts, cseq["tpl_edges"], cseq["geo_edges"])
+                cfaces = inv[cr.faces]
+                centry = B.build_mesh(cverts, ctpl, cgeo, bucket,
+                                      tpl_max_degree=12, geo_max_degree=12)
+                NBk = 8
+                cvox = voxelize_mesh(cverts, cfaces, dims=88)
+                csurf = surface_geodesic(cverts, cfaces)
+                cpts = [np.transpose(cseq["pts_traj"][:, 1:T + 1, :], (1, 0, 2))] * NBk
+                # per-bucket kernel selection: the windowed kernel's one-hot
+                # gather scratch is (D*TV, 3*TV) — only TV=128 fits the 16 MB
+                # scoped-VMEM budget at H=256; full-table fused only where its
+                # V-wide gather fits (V <= 2048); XLA otherwise
+                gcu.auto_select_edge_impl([centry], tile_v=128)
+                pk = RigPredictor(
+                    deform, predictor.deform_state, joint, predictor.joint_state,
+                    mask, predictor.mask_state, root, predictor.root_state,
+                    bone, predictor.bone_state, skin, predictor.skin_state,
+                )
+                ck: dict = {}
                 pk.predict_rig_batch([centry] * NBk, cpts, voxes=[cvox] * NBk,
                                      surf_geos=[csurf] * NBk, device_cache=ck)
-            bucket_tp[str(bucket)] = round(NBk * n_it / (time.perf_counter() - t0), 2)
-            _RESULT["bucket_meshes_per_sec"] = dict(bucket_tp)
-            # next bucket is bigger; assume up to 1.5x this one's wall cost
-            bucket_est = 1.5 * (time.monotonic() - t_bucket)
+                t0 = time.perf_counter()
+                n_it = 3
+                for _ in range(n_it):
+                    pk.predict_rig_batch([centry] * NBk, cpts, voxes=[cvox] * NBk,
+                                         surf_geos=[csurf] * NBk, device_cache=ck)
+                bucket_tp[str(bucket)] = round(NBk * n_it / (time.perf_counter() - t0), 2)
+                _RESULT["bucket_meshes_per_sec"] = dict(bucket_tp)
+                # next bucket is bigger; assume up to 1.5x this one's wall cost
+                bucket_est = 1.5 * (time.monotonic() - t_bucket)
+            except Exception as e:                      # noqa: BLE001
+                # a bucket's compile/run failure (new shape) must not lose
+                # the smaller buckets or the phases after (round-5 lesson)
+                print(f"  [bench] bucket {bucket} FAILED: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                bucket_est = 1.5 * (time.monotonic() - t_bucket)
         gcu.set_edge_tile(TILE)
         gcu.set_edge_impl(chosen)                             # restore phase-A choice
 
     # ---- phase B: single-sequence tracking (runs last: B2/buckets are the
     # driver-demanded fields; this one is a single cheap program) ----
+    try:
+        _phase_b_single(args, Tracker, make_scanned_tracker, deform, predictor,
+                        track_rig, track_entry, cap, seq)
+    except Exception as e:                                    # noqa: BLE001
+        print(f"  [bench] phase B FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    signal.alarm(0)
+    # Snapshot the completed run for the stale-fallback path (hardware runs
+    # only; --smoke numbers would poison the fallback).
+    if not args.smoke and _RESULT.get("metric"):
+        try:
+            os.makedirs(os.path.dirname(_LAST_FULL), exist_ok=True)
+            with open(_LAST_FULL, "w") as f:
+                json.dump(dict(_RESULT, recorded_unix=time.time()), f)
+        except Exception:
+            pass
+    _finalize()
+
+
+def _phase_b_single(args, Tracker, make_scanned_tracker, deform, predictor,
+                    track_rig, track_entry, cap, seq):
     if _remaining(args.deadline) > 25 or args.smoke:
         tracker = Tracker(deform, predictor.deform_state, track_rig,
                           track_entry)
@@ -447,18 +484,14 @@ def main():
     else:
         print("  [bench] skipping phase B (deadline)", file=sys.stderr)
 
-    signal.alarm(0)
-    # Snapshot the completed run for the stale-fallback path (hardware runs
-    # only; --smoke numbers would poison the fallback).
-    if not args.smoke and _RESULT.get("metric"):
-        try:
-            os.makedirs(os.path.dirname(_LAST_FULL), exist_ok=True)
-            with open(_LAST_FULL, "w") as f:
-                json.dump(dict(_RESULT, recorded_unix=time.time()), f)
-        except Exception:
-            pass
-    _finalize()
-
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:                                         # noqa: BLE001
+        # belt and braces: whatever phases DID record still print as the
+        # one JSON line (or the clearly-flagged stale fallback)
+        import traceback
+
+        traceback.print_exc()
+        _finalize(rc=0 if _RESULT.get("metric") else 1)

@@ -37,6 +37,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 _KPAD = 128          # lane-padded k in the kernel output; sliced outside
+# Scoped-VMEM budget for the in-kernel (TV, P) working set: the similarity
+# tile (f32), the column iota (i32), and the selection mask/bf16 cast are all
+# TV*P-sized — ~12 bytes/element with Mosaic's padding.  Mosaic's hard scoped
+# limit is 16 MB; 10 MB leaves room for the I/O blocks + double buffering.
+# (Observed: TV=512 at P=4096 allocates 17.42M and fails to compile.)
+_VMEM_WORK_BUDGET = 10 * 1024 * 1024
+_TILE_BYTES_PER_ELEM = 12
+
+
+def _pick_tile(N: int, P: int, tile_v: int) -> int | None:
+    """Largest vertex tile that divides N and keeps the (TV, P) working set
+    inside the scoped-VMEM budget; None when even TV=8 cannot fit."""
+    cap = _VMEM_WORK_BUDGET // (P * _TILE_BYTES_PER_ELEM)
+    TV = min(tile_v, N)
+    while TV > 8 and (N % TV or TV > cap):
+        TV //= 2
+    if TV < 8 or N % TV or TV > cap:
+        return None
+    return TV
 
 
 def _knn_kernel(q_ref, ct_ref, m_ref, idx_ref, score_ref, *, k):
@@ -101,10 +120,8 @@ def _fused_raw(query, cand, mask, k: int, tile_v: int = 512,
     B, N, C = query.shape
     P = cand.shape[1]
     assert P >= k, (P, k)
-    TV = min(tile_v, N)
-    while N % TV:
-        TV //= 2
-    assert TV >= 8 and N % TV == 0, (N, tile_v)
+    TV = _pick_tile(N, P, tile_v)
+    assert TV is not None, (N, P, tile_v)
     query = query.astype(jnp.bfloat16)
     cand_t = jnp.transpose(cand.astype(jnp.bfloat16), (0, 2, 1))   # (B,C,P)
     mask_i = mask.astype(jnp.int32)[:, None, :]                # (B,1,P)
@@ -244,9 +261,11 @@ def _shapes_ok(query, cand, k) -> bool:
     B, N, C = query.shape
     P = cand.shape[1]
     # k <= _KPAD: the kernel writes k results into a _KPAD-wide block; an
-    # oversized k would silently truncate to _KPAD columns (ADVICE r4 #1)
+    # oversized k would silently truncate to _KPAD columns (ADVICE r4 #1).
+    # _pick_tile None: no vertex tile keeps the (TV, P) working set inside
+    # scoped VMEM — the XLA sweep handles those shapes.
     return (N % 8 == 0) and (P % 128 == 0) and (P >= k) and (C <= 512) \
-        and (k <= _KPAD)
+        and (k <= _KPAD) and (_pick_tile(N, P, 512) is not None)
 
 
 def knn_batched(query, cand, k: int, cand_mask=None, *, gather_values=None,
