@@ -4,9 +4,19 @@ Re-design of utils/deform_ik.py:7-117: optimize per-joint euler rotations and
 a root translation with Adam so that LBS-posed vertices meet per-vertex
 constraints.  The reference runs 200/400 torch-CPU Adam iterations with a
 Python FK tree walk per step (eval_tracking.py:62-125); here the whole solve
-is one jitted `lax.fori_loop` of fixed length — FK is the unrolled level
-schedule of geometry/fk.py, the optimizer is optax Adam with the reference's
-grouped learning rates (rotations lr·π, translation lr, weight decay 1e-4).
+is one jitted `lax.fori_loop` of fixed length — FK is the path-doubling
+composition of geometry/fk.py, the optimizer is a hand-fused Adam with the
+reference's grouped learning rates (rotations lr·π, translation lr, weight
+decay 1e-4, deform_ik.py:98-101 semantics).
+
+The optimizer is fused on purpose: every IK iteration is a chain of TINY ops
+(the largest is the (N, J) @ (J, 12) LBS matmul), so the loop is latency- not
+FLOP-bound, and the optax multi_transform/chain tree machinery added ~30
+small ops per iteration on top of the gradient.  Packing [rot | trans] into
+one (J+1, 3) array with a per-row learning rate reproduces the grouped-lr
+update exactly (Adam is elementwise; the lr only scales the final step) in
+~12 ops.  `unroll` lets XLA fuse across iterations, amortizing loop
+bookkeeping.
 
 Constraints are shape-static: `constraint_idx` selects which vertex each
 constraint binds to (identity for stage 1; per-point best-matching vertex for
@@ -17,15 +27,14 @@ nothing, replacing the reference's boolean filtering with static shapes
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from morig_tpu.geometry.fk import FKTopology, fk, lbs_blend
 from morig_tpu.geometry.rotations import euler_to_matrix
+
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8       # optax.adam defaults
 
 
 @dataclasses.dataclass
@@ -36,6 +45,38 @@ class IKConfig:
     vismask_threshold: float = 0.35     # deform_ik.py:8
     w_invis: float = 0.0
     init_angle: float = 0.01            # deform_ik.py:73,97
+    unroll: int = 8                     # fori_loop unroll factor
+
+
+def _run_adam(objective, J: int, cfg: IKConfig):
+    """Minimize `objective(theta)` over theta (J+1, 3) = [rot rows | trans
+    row] with the grouped-lr Adam of deform_ik.py:98-101.  Numerically
+    equivalent to optax.multi_transform({rot: chain(add_decayed_weights(wd),
+    adam(lr*pi)), trans: chain(add_decayed_weights(wd), adam(lr))}) on the
+    split params — Adam is elementwise, so a per-row lr is the same update —
+    but in one fused elementwise block per iteration."""
+    lr_row = jnp.concatenate([
+        jnp.full((J, 1), cfg.lr * jnp.pi, jnp.float32),
+        jnp.full((1, 1), cfg.lr, jnp.float32),
+    ])
+    theta0 = jnp.full((J + 1, 3), cfg.init_angle, jnp.float32)
+    grad_fn = jax.grad(objective)
+
+    def body(i, carry):
+        theta, m, v = carry
+        g = grad_fn(theta) + cfg.weight_decay * theta
+        m = _B1 * m + (1.0 - _B1) * g
+        v = _B2 * v + (1.0 - _B2) * g * g
+        t = (i + 1).astype(jnp.float32)
+        mhat = m / (1.0 - _B1 ** t)
+        vhat = v / (1.0 - _B2 ** t)
+        theta = theta - lr_row * (mhat / (jnp.sqrt(vhat) + _EPS))
+        return theta, m, v
+
+    z = jnp.zeros_like(theta0)
+    theta, _, _ = jax.lax.fori_loop(0, cfg.iters, body, (theta0, z, z),
+                                    unroll=max(1, cfg.unroll))
+    return theta
 
 
 def make_ik_solver(topology: FKTopology, cfg: IKConfig):
@@ -54,15 +95,6 @@ def make_ik_solver(topology: FKTopology, cfg: IKConfig):
     """
     J = topology.num_joints
 
-    rot_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
-                         optax.adam(cfg.lr * jnp.pi))
-    trans_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
-                           optax.adam(cfg.lr))
-    tx = optax.multi_transform(
-        {"rot": rot_tx, "trans": trans_tx},
-        {"rot": "rot", "trans": "trans"},
-    )
-
     @jax.jit
     def solve(locals_in, offsets, ref_G, ref_q, ref_verts, skins,
               constraint_idx, targets, vismask):
@@ -70,32 +102,19 @@ def make_ik_solver(topology: FKTopology, cfg: IKConfig):
         v_c = ref_verts[constraint_idx]                          # (N,3)
         sk_c = skins[constraint_idx]                             # (N,J)
 
-        def objective(params):
-            R = euler_to_matrix(params["rot"])
+        def objective(theta):
+            R = euler_to_matrix(theta[:J])
             locals_ = R @ locals_in
-            G, q = fk(topology, locals_, offsets, params["trans"])
+            G, q = fk(topology, locals_, offsets, theta[J])
             sel = lbs_blend(G, q, ref_G, ref_q, v_c, sk_c)       # (N,3)
             err = jnp.sum((sel - targets) ** 2, axis=-1)
             # mean over N constraints x 3 coords (deform_ik.py:112-113)
             return jnp.mean(err * w) / 3.0
 
-        params = {
-            "rot": jnp.full((J, 3), cfg.init_angle, jnp.float32),
-            "trans": jnp.full((3,), cfg.init_angle, jnp.float32),
-        }
-        opt_state = tx.init(params)
-        grad_fn = jax.grad(objective)
-
-        def body(_, carry):
-            params, opt_state = carry
-            g = grad_fn(params)
-            updates, opt_state = tx.update(g, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
-
-        params, _ = jax.lax.fori_loop(0, cfg.iters, body, (params, opt_state))
-        R = euler_to_matrix(params["rot"])
+        theta = _run_adam(objective, J, cfg)
+        R = euler_to_matrix(theta[:J])
         locals_out = R @ locals_in
-        G, q = fk(topology, locals_out, offsets, params["trans"])
+        G, q = fk(topology, locals_out, offsets, theta[J])
         return locals_out, G, q
 
     return solve
@@ -113,15 +132,6 @@ def make_ik_solver_masked(max_depth: int, cfg: IKConfig):
     """
     from morig_tpu.geometry.fk import fk_masked_doubling as fk_masked
 
-    rot_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
-                         optax.adam(cfg.lr * jnp.pi))
-    trans_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
-                           optax.adam(cfg.lr))
-    tx = optax.multi_transform(
-        {"rot": rot_tx, "trans": trans_tx},
-        {"rot": "rot", "trans": "trans"},
-    )
-
     def solve(locals_in, offsets, parents, level_of, ref_G, ref_q, ref_verts,
               skins, constraint_idx, targets, vismask, valid):
         J = locals_in.shape[0]
@@ -131,33 +141,20 @@ def make_ik_solver_masked(max_depth: int, cfg: IKConfig):
         v_c = ref_verts[constraint_idx]                          # (N,3)
         sk_c = skins[constraint_idx]                             # (N,J)
 
-        def objective(params):
-            R = euler_to_matrix(params["rot"])
+        def objective(theta):
+            R = euler_to_matrix(theta[:J])
             locals_ = R @ locals_in
             G, q = fk_masked(parents, level_of, locals_, offsets, max_depth,
-                             params["trans"])
+                             theta[J])
             sel = lbs_blend(G, q, ref_G, ref_q, v_c, sk_c)       # (N,3)
             err = jnp.sum((sel - targets) ** 2, axis=-1)
             return jnp.sum(err * w) / denom
 
-        params = {
-            "rot": jnp.full((J, 3), cfg.init_angle, jnp.float32),
-            "trans": jnp.full((3,), cfg.init_angle, jnp.float32),
-        }
-        opt_state = tx.init(params)
-        grad_fn = jax.grad(objective)
-
-        def body(_, carry):
-            params, opt_state = carry
-            g = grad_fn(params)
-            updates, opt_state = tx.update(g, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
-
-        params, _ = jax.lax.fori_loop(0, cfg.iters, body, (params, opt_state))
-        R = euler_to_matrix(params["rot"])
+        theta = _run_adam(objective, J, cfg)
+        R = euler_to_matrix(theta[:J])
         locals_out = R @ locals_in
         G, q = fk_masked(parents, level_of, locals_out, offsets, max_depth,
-                         params["trans"])
+                         theta[J])
         return locals_out, G, q
 
     return solve

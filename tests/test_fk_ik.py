@@ -204,3 +204,45 @@ def test_fk_doubling_grad_matches():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_adam_matches_optax():
+    """The hand-fused grouped-lr Adam in geometry/ik.py must reproduce the
+    optax construction it replaced (multi_transform over {rot: chain(
+    add_decayed_weights(wd), adam(lr*pi)), trans: chain(add_decayed_weights(
+    wd), adam(lr))}) — Adam is elementwise, so the packed (J+1, 3) form with
+    a per-row lr is the same update."""
+    import optax
+
+    from morig_tpu.geometry.ik import _run_adam
+
+    J = 4
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.normal(size=(J + 1, 3, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(J + 1, 3)).astype(np.float32))
+
+    def objective(theta):
+        return jnp.sum((jnp.einsum("jab,jb->ja", A, theta) - b) ** 2)
+
+    cfg = IKConfig(iters=60, lr=5e-2, weight_decay=1e-4, unroll=4)
+    theta_fused = _run_adam(objective, J, cfg)
+
+    # optax replica of the pre-fusion construction
+    rot_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                         optax.adam(cfg.lr * jnp.pi))
+    trans_tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                           optax.adam(cfg.lr))
+    tx = optax.multi_transform({"rot": rot_tx, "trans": trans_tx},
+                               {"rot": "rot", "trans": "trans"})
+    params = {"rot": jnp.full((J, 3), cfg.init_angle, jnp.float32),
+              "trans": jnp.full((3,), cfg.init_angle, jnp.float32)}
+    opt_state = tx.init(params)
+    grad_fn = jax.grad(
+        lambda p: objective(jnp.concatenate([p["rot"], p["trans"][None]], 0)))
+    for _ in range(cfg.iters):
+        g = grad_fn(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    theta_ref = jnp.concatenate([params["rot"], params["trans"][None]], 0)
+    np.testing.assert_allclose(np.asarray(theta_fused), np.asarray(theta_ref),
+                               rtol=2e-5, atol=2e-6)
