@@ -270,7 +270,8 @@ class RigStage:
                  num_embed_sample: int = 512, width_scale: float = 1.0,
                  axis_name: Optional[str] = None,
                  dense_weight: float = 0.0, dense_sigma: float = 0.07,
-                 recall_weight: float = 1.0):
+                 recall_weight: float = 1.0,
+                 sep_weight: float = 0.0, sep_alpha: float = 0.8):
         assert arch in ("jointnet", "masknet")
         self.cfg = cfg
         self.arch = arch
@@ -283,9 +284,20 @@ class RigStage:
         # joints into one mean-shift mode.  recall_weight>1 upweights the
         # joints->shifted-points chamfer direction so an uncovered GT joint
         # costs more than an imprecisely-placed one.
+        #
+        # sep_weight>0 adds a SEPARATION MARGIN hinge (campaign v5): each
+        # vertex's shifted point must sit at least sep_alpha of the way
+        # toward its GT joint j1 relative to j1's nearest other joint j2 —
+        # relu(sep_alpha*|j1-j2| - (|y-j2| - |y-j1|)).  Where v4's
+        # loss REWEIGHTING failed to move recall (it changed which vertices
+        # dominate the pull, not the mode structure), this term penalizes
+        # the midline landings themselves: shifted points between two close
+        # joints are what bridges their mean-shift modes into one.
         self.dense_weight = dense_weight
         self.dense_sigma = dense_sigma
         self.recall_weight = recall_weight
+        self.sep_weight = sep_weight
+        self.sep_alpha = sep_alpha
         cls = JointNetMotion if arch == "jointnet" else MaskNetMotion
         self.model = cls(
             num_keyframes=cfg.model.num_keyframes,
@@ -368,8 +380,36 @@ class RigStage:
             else:
                 loss_l1 = masked_l1(disp, batch.offsets, batch.mesh.vert_mask)
             total = 0.1 * loss_embed + loss_chamfer + loss_l1
-            return total, dict(loss_chamfer=loss_chamfer, loss_l1=loss_l1,
-                               loss_motion=0.1 * loss_embed, total_loss=total)
+            metrics = dict(loss_chamfer=loss_chamfer, loss_l1=loss_l1,
+                           loss_motion=0.1 * loss_embed)
+            if self.sep_weight > 0.0:
+                alpha = self.sep_alpha
+
+                def sep_one(y, vmask, joints, jmask, offsets, verts):
+                    j1 = verts + offsets                       # (V,3) GT joint
+                    big = 1e6
+                    d = jnp.sqrt(jnp.maximum(
+                        pairwise_sqdist(j1, joints), 1e-12))   # (V,J)
+                    d = jnp.where(jmask[None, :], d, big)
+                    # smallest is j1 itself (~0); the partner is the nearest
+                    # OTHER joint: mask a tight ball around j1 and re-min
+                    spacing = jnp.min(jnp.where(d < 1e-4, big, d), axis=1)
+                    j2_idx = jnp.argmin(jnp.where(d < 1e-4, big, d), axis=1)
+                    j2 = joints[j2_idx]                        # (V,3)
+                    d1 = jnp.linalg.norm(y - j1, axis=-1)
+                    d2 = jnp.linalg.norm(y - j2, axis=-1)
+                    # hinge only binds where a real partner exists
+                    ok = vmask & (spacing < big / 2)
+                    h = jnp.maximum(alpha * spacing - (d2 - d1), 0.0)
+                    return jnp.sum(h * ok) / jnp.maximum(jnp.sum(ok), 1.0)
+
+                loss_sep = jnp.mean(jax.vmap(sep_one)(
+                    y_pred, batch.mesh.vert_mask, batch.joints,
+                    batch.joints_mask, batch.offsets, batch.mesh.verts))
+                total = total + self.sep_weight * loss_sep
+                metrics["loss_sep"] = self.sep_weight * loss_sep
+            metrics["total_loss"] = total
+            return total, metrics
         loss_bce = bce_with_logits(pred[..., 0], batch.attn_mask, batch.mesh.vert_mask)
         total = 0.1 * loss_embed + loss_bce
         return total, dict(loss_bce=loss_bce, loss_motion=0.1 * loss_embed,

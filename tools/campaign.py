@@ -173,6 +173,11 @@ def main():
     # reference semantics (train_rig.py:176-183); campaign v4 runs 3.0/2.0.
     ap.add_argument("--dense-weight", type=float, default=0.0)
     ap.add_argument("--recall-weight", type=float, default=1.0)
+    # separation-margin hinge (campaign v5): penalize shifted points landing
+    # between two close GT joints — the midline landings that bridge their
+    # mean-shift modes (see RigStage.sep_weight)
+    ap.add_argument("--sep-weight", type=float, default=0.0)
+    ap.add_argument("--sep-alpha", type=float, default=0.8)
     args = ap.parse_args()
     os.makedirs(args.dir, exist_ok=True)
     _BEAT_DIR = args.dir
@@ -365,7 +370,8 @@ def main():
     nes = min(512, rig_tr.pad_verts)
     joint = RigStage(arch="jointnet", num_embed_sample=nes,
                      dense_weight=args.dense_weight,
-                     recall_weight=args.recall_weight)
+                     recall_weight=args.recall_weight,
+                     sep_weight=args.sep_weight, sep_alpha=args.sep_alpha)
     mask = RigStage(arch="masknet", num_embed_sample=nes)
 
     def rig_batches(rng, train=True):
